@@ -1,13 +1,347 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.canon.Canon
+import graft.dedup.Seen
+import graft.engine.CrawlEngine
+import graft.model.{CrawlConfig, RobotsRule, Seed}
+import graft.politeness.Politeness
+import graft.router.{FlowControl, Handler, Router}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every `queries` entry demonstrates one engine operator over the
+  * driver's read-only parquet tables (TESTDATA.md); `oracleSql` holds the
+  * DuckDB-equivalent ANSI SQL the driver checks it against. URL-shaped
+  * inputs are derived deterministically from `documents.doc_id` so both
+  * engines compute them identically.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---------- derived inputs (identical formulas in oracleSql) ----------
+
+  private def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Deliberately messy URL per doc: mixed case, default port, trailing
+    * slash, unsorted query, fragment — exercises every canon rule.
+    */
+  private def messyUrl(id: Column): Column = concat(
+    lit("HTTP://Src"), (id % 20).cast("string"), lit(".Example.COM"),
+    when(id % 3 === 0, lit(":80")).otherwise(lit("")),
+    lit("/docs/"), id.cast("string"),
+    when(id % 4 === 0, lit("/")).otherwise(lit("")),
+    when(id % 2 === 0, lit("?b=2&a=1")).otherwise(lit("")),
+    when(id % 5 === 0, lit("#frag")).otherwise(lit("")))
+
+  /** The messyUrl formula as DuckDB SQL over column `doc_id`. */
+  private val messyUrlSql: String =
+    "concat('HTTP://Src', CAST(doc_id % 20 AS VARCHAR), '.Example.COM', " +
+      "CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END, " +
+      "'/docs/', CAST(doc_id AS VARCHAR), " +
+      "CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END, " +
+      "CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1' ELSE '' END, " +
+      "CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)"
+
+  /** Canonicalization of messyUrl, written out longhand in SQL (the Spark
+    * side uses graft.canon.Canon's generic expressions; results must
+    * match on this input family).
+    */
+  private val canonicalSql: String =
+    "concat('http://src', CAST(doc_id % 20 AS VARCHAR), '.example.com', " +
+      "'/docs/', CAST(doc_id AS VARCHAR), " +
+      "CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2' ELSE '' END)"
+
+  /** Clean canonical URL per doc (for graph queries — canon-neutral). */
+  private def cleanUrl(id: Column): Column =
+    concat(lit("http://s"), (id % 20).cast("string"), lit(".test/d/"),
+      id.cast("string"))
+
+  private def cleanUrlSql(idExpr: String): String =
+    s"concat('http://s', CAST(($idExpr) % 20 AS VARCHAR), '.test/d/', " +
+      s"CAST(($idExpr) AS VARCHAR))"
+
+  /** Deterministic 3-out-degree link graph over documents:
+    * i -> (7i+3)%N, (13i+5)%N, (31i+11)%N.
+    */
+  private val edgeMults: Seq[(Long, Long)] = Seq((7L, 3L), (13L, 5L), (31L, 11L))
+
+  /** documents as an interleaved-docs corpus: one text span (the real
+    * text), media span for long docs, plus the 3 link spans.
+    */
+  private def docsAsCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+    val n = d.count()
+    val id = col("doc_id")
+    val links = array(edgeMults.zipWithIndex.map { case ((m, a), ix) =>
+      struct(lit("link").as("kind"),
+        concat(lit("anchor"), lit(ix)).as("text"),
+        cleanUrl((id * m + a) % n).as("media_ref"),
+        lit(ix + 2).cast("int").as("offset"))
+    }: _*)
+    val base = array(
+      struct(lit("text").as("kind"), col("text").as("text"),
+        lit(null).cast("string").as("media_ref"), lit(0).as("offset")),
+      struct(lit("media").as("kind"), lit("alt").as("text"),
+        concat(lit("m://"), id.cast("string")).as("media_ref"),
+        lit(1).as("offset")))
+    d.select(cleanUrl(id).as("doc_id"), concat(base, links).as("spans"))
+  }
+
+  // ---------- flagship ----------
+
+  /** Flagship: a real multi-round crawl (canonicalize -> dedup -> budget ->
+    * fetch-join -> route -> frontier) over the documents-derived corpus at
+    * sf0.001; returns the crawl trace. Driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    import spark.implicits._
+    val corpus = docsAsCorpus(spark, dir)
+    val seeds = (0 until 4).map(j => Seed(s"http://s${j % 20}.test/d/$j", "page", j))
+    val work = java.nio.file.Files.createTempDirectory("graft-entry").toString
+    val cfg = CrawlConfig(maxRounds = 4, maxDepth = 4,
+      defaultHostBudget = 100, frontierPartitions = 8,
+      bloomExpectedItems = 100000L)
+    val router = Router(Map("page" -> Handler.linkFollower()),
+      fallback = Handler.linkFollower())
+    val r = CrawlEngine.run(spark, corpus, seeds,
+      spark.emptyDataset[RobotsRule], router, cfg, work)
+    r.trace(spark)
+  }
+
+  // ---------- operator queries ----------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // canonicalization (north-rule op, Canon): messy -> canonical
+    "q_canon" -> ((s, dir) => {
+      documents(s, dir).select(
+        col("doc_id"),
+        Canon.canonicalize(messyUrl(col("doc_id"))).as("canonical"))
+        .orderBy("doc_id")
+    }),
+
+    // host extraction + default-port/fragment handling
+    "q_canon_host" -> ((s, dir) => {
+      documents(s, dir).select(
+        col("doc_id"),
+        Canon.host(messyUrl(col("doc_id"))).as("host"),
+        Canon.scheme(messyUrl(col("doc_id"))).as("scheme"))
+        .orderBy("doc_id")
+    }),
+
+    // URL-seen dedup: frontier anti-join seen (Seen.exactAntiJoin)
+    "q_dedup_seen" -> ((s, dir) => {
+      val frontier = documents(s, dir).select(
+        col("doc_id"),
+        Canon.canonicalize(messyUrl(col("doc_id"))).as("canonical"))
+        .withColumn("urlHash", Canon.urlHash(col("canonical")))
+      val seen = frontier.filter(col("doc_id") % 3 === 0)
+        .select(col("urlHash"))
+      Seen.exactAntiJoin(frontier, seen)
+        .select(col("doc_id"), col("canonical")).orderBy("doc_id")
+    }),
+
+    // in-batch first-occurrence dedup (Seen.firstOccurrence): docs from
+    // the same source+lang bucket collapse to the lowest doc_id
+    "q_dedup_first" -> ((s, dir) => {
+      val d = documents(s, dir).select(
+        xxhash64(concat(col("source"), lit("|"), col("lang"))).as("urlHash"),
+        col("doc_id").as("parentSeq"), lit(0).as("emissionIdx"),
+        col("source"), col("lang"))
+      Seen.firstOccurrence(d, struct(col("parentSeq"), col("emissionIdx")))
+        .select(col("source"), col("lang"), col("parentSeq").as("doc_id"))
+        .orderBy("source", "lang")
+    }),
+
+    // per-host politeness budget (Politeness.budgetRank): <=2 per host
+    "q_politeness_budget" -> ((s, dir) => {
+      val frontier = documents(s, dir).select(
+        Canon.host(messyUrl(col("doc_id"))).as("host"),
+        lit(0).as("priority"), lit(0).as("discoveryRound"),
+        col("doc_id").as("parentSeq"), lit(0).as("emissionIdx"),
+        col("doc_id"))
+      val (under, _) = Politeness.budgetRank(frontier, defaultBudget = 2)
+      under.select(col("host"), col("doc_id")).orderBy("host", "doc_id")
+    }),
+
+    // robots.txt prefix rules (Politeness.robotsFilter): even-source hosts
+    // disallow the /docs/1 prefix
+    "q_robots_filter" -> ((s, dir) => {
+      import s.implicits._
+      val frontier = documents(s, dir).select(
+        col("doc_id"),
+        Canon.canonicalize(messyUrl(col("doc_id"))).as("canonical"))
+        .withColumn("host", Canon.host(col("canonical")))
+      val robots = (0 until 20).map(h => RobotsRule(
+        s"src$h.example.com",
+        if (h % 2 == 0) Seq("/docs/1") else Seq.empty,
+        0L, 1000)).toDS()
+      Politeness.robotsFilter(frontier, robots)
+        .select(col("doc_id"), col("host")).orderBy("doc_id")
+    }),
+
+    // frontier expansion: link spans -> child rows with depth+1, inherited
+    // tag, emission order (Handler.linkFollower + RequestQueue semantics)
+    "q_frontier_children" -> ((s, dir) => {
+      val corpus = docsAsCorpus(s, dir)
+      val fetched = corpus.select(
+        col("doc_id").as("canonical"), lit("page").as("tag"),
+        lit(1).as("depth"), col("spans"))
+      val routed = Router(Map.empty[String, Handler],
+        fallback = Handler.linkFollower()).apply(fetched)
+      routed.select(col("canonical").as("parent_url"), col("depth"),
+          posexplode(col("children")).as(Seq("pos", "c")))
+        .select(
+          col("parent_url"),
+          col("c.url").as("child_url"),
+          (col("depth") + when(col("c.branch"), 1).otherwise(0)).as("depth"),
+          col("c.emissionIdx").as("emission_idx"))
+        .orderBy("parent_url", "emission_idx")
+    }),
+
+    // multi-round BFS crawl with dedup — the whole engine, end to end;
+    // oracle is a recursive CTE. depth = first-visit (min) depth.
+    "q_crawl_bfs" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = docsAsCorpus(s, dir)
+      val seeds = Seq(Seed("http://s0.test/d/0", null, 0),
+        Seed("http://s1.test/d/1", null, 1))
+      val work = java.nio.file.Files.createTempDirectory("graft-bfs").toString
+      val cfg = CrawlConfig(maxRounds = 4, maxDepth = 4,
+        defaultHostBudget = Int.MaxValue, frontierPartitions = 8,
+        useBloomPrefilter = false)
+      val r = CrawlEngine.run(s, corpus, seeds,
+        s.emptyDataset[RobotsRule],
+        Router(Map.empty, fallback = Handler.linkFollower()), cfg, work)
+      r.trace(s).select(col("canonical").as("url"), col("depth"))
+        .orderBy("url")
+    }),
+
+    // FlowControl conversion matrix (flow_control.rs:117-191 semantics)
+    "q_flowcontrol" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, "unit")
+          .when(col("doc_id") % 4 === 1, "duration")
+          .when(col("doc_id") % 4 === 2, "error")
+          .otherwise("error_query").as("kind"),
+        (col("doc_id") % 2 === 0).as("is_err"),
+        (col("doc_id") % 7 * 100).cast("long").as("defer_ms_in"),
+        lit("single:t1").as("query_tag"))
+      d.select(col("doc_id"),
+          FlowControl.convert(col("kind"), col("is_err"),
+            col("defer_ms_in"), col("query_tag")).as("fc"))
+        .select(col("doc_id"), col("fc.outcome").as("outcome"),
+          col("fc.deferQuery").as("defer_query"),
+          col("fc.deferMs").as("defer_ms"))
+        .orderBy("doc_id")
+    }),
+
+    // seed intake order: reversed registration (runner.rs:110-121)
+    "q_seed_order" -> ((s, dir) => {
+      val seedDocs = documents(s, dir).filter(col("doc_id") < 8)
+      seedDocs.select(
+        cleanUrl(col("doc_id")).as("url"),
+        (lit(7) - col("doc_id")).cast("int").as("emission_idx"))
+        .orderBy("emission_idx")
+    })
+  )
+
+  // ---------- DuckDB oracles ----------
+
+  def oracleSql: Map[String, String] = Map(
+    "q_canon" ->
+      s"""SELECT doc_id, $canonicalSql AS canonical
+         FROM documents ORDER BY doc_id""",
+
+    "q_canon_host" ->
+      s"""SELECT doc_id,
+           concat('src', CAST(doc_id % 20 AS VARCHAR), '.example.com') AS host,
+           'http' AS scheme
+         FROM documents ORDER BY doc_id""",
+
+    "q_dedup_seen" ->
+      s"""SELECT doc_id, $canonicalSql AS canonical
+         FROM documents d
+         WHERE NOT EXISTS (SELECT 1 FROM documents s
+                           WHERE s.doc_id % 3 = 0 AND s.doc_id = d.doc_id)
+         ORDER BY doc_id""",
+
+    "q_dedup_first" ->
+      """SELECT source, lang, CAST(min(doc_id) AS BIGINT) AS doc_id
+         FROM documents GROUP BY source, lang ORDER BY source, lang""",
+
+    "q_politeness_budget" ->
+      """SELECT host, doc_id FROM (
+           SELECT concat('src', CAST(doc_id % 20 AS VARCHAR),
+                    '.example.com') AS host,
+                  doc_id,
+                  row_number() OVER (
+                    PARTITION BY doc_id % 20 ORDER BY doc_id) AS rk
+           FROM documents) t
+         WHERE rk <= 2 ORDER BY host, doc_id""",
+
+    "q_robots_filter" ->
+      s"""SELECT doc_id,
+            concat('src', CAST(doc_id % 20 AS VARCHAR), '.example.com') AS host
+         FROM documents
+         WHERE NOT (doc_id % 40 IN (0, 2, 4, 6, 8, 10, 12, 14, 16, 18, 20,
+                                    22, 24, 26, 28, 30, 32, 34, 36, 38)
+                    AND starts_with(concat('/docs/', CAST(doc_id AS VARCHAR)),
+                                    '/docs/1'))
+         ORDER BY doc_id""",
+
+    "q_frontier_children" -> {
+      val targets = edgeMults.zipWithIndex.map { case ((m, a), ix) =>
+        s"""SELECT ${cleanUrlSql("doc_id")} AS parent_url,
+              ${cleanUrlSql(s"(doc_id * $m + $a) % (SELECT count(*) FROM documents)")}
+                AS child_url,
+              2 AS depth, $ix AS emission_idx
+            FROM documents"""
+      }.mkString(" UNION ALL ")
+      s"""SELECT parent_url, child_url, depth, emission_idx FROM ($targets)
+          ORDER BY parent_url, emission_idx"""
+    },
+
+    "q_crawl_bfs" -> {
+      val n = "(SELECT count(*) FROM documents)"
+      val edges = edgeMults.map { case (m, a) =>
+        s"SELECT doc_id AS src, (doc_id * $m + $a) % $n AS dst FROM documents"
+      }.mkString(" UNION ALL ")
+      s"""WITH RECURSIVE edges AS ($edges),
+         bfs(id, depth) AS (
+           SELECT * FROM (VALUES (0, 1), (1, 1)) v(id, depth)
+           UNION
+           SELECT e.dst, b.depth + 1
+           FROM bfs b JOIN edges e ON e.src = b.id
+           WHERE b.depth + 1 <= 4)
+         SELECT ${cleanUrlSql("id")} AS url, CAST(min(depth) AS INT) AS depth
+         FROM bfs GROUP BY id ORDER BY url"""
+    },
+
+    "q_flowcontrol" ->
+      """SELECT doc_id,
+           CASE
+             WHEN doc_id % 4 = 0 AND doc_id % 2 = 0 THEN 'skip'
+             WHEN doc_id % 4 = 0 THEN 'continue'
+             WHEN doc_id % 4 = 1 AND doc_id % 2 = 0 THEN 'hold'
+             WHEN doc_id % 4 = 1 THEN 'wait'
+             WHEN doc_id % 4 = 2 THEN 'hold'
+             ELSE 'fail' END AS outcome,
+           CASE
+             WHEN doc_id % 4 = 0 THEN NULL
+             WHEN doc_id % 4 = 1 THEN 'owner'
+             WHEN doc_id % 4 = 2 THEN 'owner'
+             ELSE 'single:t1' END AS defer_query,
+           CAST(CASE WHEN doc_id % 4 = 1 THEN (doc_id % 7) * 100
+                ELSE 0 END AS BIGINT) AS defer_ms
+         FROM documents ORDER BY doc_id""",
+
+    "q_seed_order" ->
+      s"""SELECT ${cleanUrlSql("doc_id")} AS url,
+            CAST(7 - doc_id AS INT) AS emission_idx
+         FROM documents WHERE doc_id < 8 ORDER BY emission_idx"""
+  )
 }

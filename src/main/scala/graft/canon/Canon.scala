@@ -1,0 +1,70 @@
+package graft.canon
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization as pure Catalyst `Column` expressions — no UDFs,
+  * so predicate pushdown / constant folding / whole-stage codegen all apply.
+  *
+  * The reference has no canonicalizer (its closest analogue is the
+  * `map_data` URL-lowercasing example, spire-rs/spire
+  * crates/spire-core/src/dataset/utils/mod.rs:38-47); the north rule
+  * requires one. Rules implemented (all standard WHATWG-ish):
+  *   1. trim; strip fragment (`#...`)
+  *   2. lowercase scheme + host
+  *   3. drop default ports (:80 http, :443 https)
+  *   4. empty path -> "/"
+  *   5. strip trailing "/" on non-root paths
+  *   6. sort query parameters; drop empty query ("?")
+  *
+  * Everything is regexp/string built-ins so the identical transform is
+  * expressible in ANSI SQL for the DuckDB oracle (see SparkEntry.oracleSql).
+  */
+object Canon {
+
+  private val schemeR = "^([a-zA-Z][a-zA-Z0-9+.-]*):\\/\\/"
+  // captures: 1=scheme, 2=host[:port], 3=path, 4=?query (optional)
+  private val urlR = "^([a-zA-Z][a-zA-Z0-9+.-]*):\\/\\/([^\\/?#]*)([^?#]*)(\\?[^#]*)?.*$"
+
+  /** scheme, lowercased. */
+  def scheme(url: Column): Column = lower(regexp_extract(url, urlR, 1))
+
+  /** host (authority without port), lowercased. */
+  def host(url: Column): Column =
+    lower(regexp_extract(regexp_extract(url, urlR, 2), "^([^:]*)", 1))
+
+  /** explicit port or empty string. */
+  def port(url: Column): Column =
+    regexp_extract(regexp_extract(url, urlR, 2), ":([0-9]+)$", 1)
+
+  /** path; "" when absent. */
+  def path(url: Column): Column = regexp_extract(url, urlR, 3)
+
+  /** query string without the leading '?'; "" when absent. */
+  def query(url: Column): Column =
+    regexp_extract(regexp_extract(url, urlR, 4), "^\\?(.*)$", 1)
+
+  /** Full canonical form. Null/non-URL input -> null (dropped upstream). */
+  def canonicalize(url: Column): Column = {
+    val u = regexp_replace(trim(url), "#.*$", "") // strip fragment
+    val sch = scheme(u)
+    val h = host(u)
+    val p0 = port(u)
+    // default-port elision
+    val keepPort = (p0 =!= "") &&
+      !((sch === "http" && p0 === "80") || (sch === "https" && p0 === "443"))
+    val portPart = when(keepPort, concat(lit(":"), p0)).otherwise(lit(""))
+    val rawPath = path(u)
+    val p1 = when(rawPath === "", lit("/")).otherwise(rawPath)
+    // strip trailing slash on non-root
+    val p2 = when(p1 =!= "/", regexp_replace(p1, "\\/$", "")).otherwise(p1)
+    val q0 = query(u)
+    val qSorted = concat_ws("&", sort_array(split(q0, "&")))
+    val qPart = when(q0 === "", lit("")).otherwise(concat(lit("?"), qSorted))
+    when(regexp_extract(u, schemeR, 1) === "", lit(null).cast("string"))
+      .otherwise(concat(sch, lit("://"), h, portPart, p2, qPart))
+  }
+
+  /** Partition key for the frontier / seen tables (SURVEY §2.6). */
+  def urlHash(canonical: Column): Column = xxhash64(canonical)
+}

@@ -1,0 +1,151 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** URL-seen deduplication (SURVEY §2.6).
+  *
+  * The reference never dedups — its seen set is just the multiset of
+  * dequeued requests (verified: no dedup anywhere in spire-rs/spire;
+  * the `Dataset` trait crates/spire-core/src/dataset/mod.rs:143-176 is a
+  * plain queue). The north rule requires a partitioned bloom-prefiltered
+  * exact dedup at 10^10-URL scale. Two tiers:
+  *
+  *  1. EXACT tier: left-anti join `candidates ⟕̸ seen` on urlHash. Both
+  *     sides are hash-partitioned on urlHash, so at scale this is a
+  *     shuffle-free-on-the-seen-side sort-merge/hash join; the seen table
+  *     is written back re-partitioned every round (bucketed-by-hash
+  *     layout).
+  *  2. APPROX tier (pre-filter): per-shard Bloom filters built by a typed
+  *     [[Aggregator]] over `shard = urlHash % nShards`, collected (small:
+  *     nShards × bloomBytes) and broadcast; candidates that miss the bloom
+  *     skip the expensive anti-join entirely. Blooms give fast negatives
+  *     only — exactness always comes from tier 1, so the final URL-seen
+  *     set is exact regardless of fpp.
+  */
+object Seen {
+
+  /** Typed aggregator folding urlHash values into one BloomFilter.
+    * Buffer is Spark's `org.apache.spark.util.sketch.BloomFilter`
+    * (Serializable), carried via the java-serialization encoder — fine
+    * because there is exactly one buffer per shard per partition.
+    */
+  class BloomAgg(expectedItems: Long, fpp: Double)
+      extends Aggregator[Long, BloomFilter, Array[Byte]] {
+    def zero: BloomFilter = BloomFilter.create(expectedItems, fpp)
+    def reduce(b: BloomFilter, a: Long): BloomFilter = { b.putLong(a); b }
+    def merge(b1: BloomFilter, b2: BloomFilter): BloomFilter =
+      { b1.mergeInPlace(b2); b1 }
+    def finish(b: BloomFilter): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      b.writeTo(bos)
+      bos.toByteArray
+    }
+    def bufferEncoder: Encoder[BloomFilter] =
+      Encoders.javaSerialization[BloomFilter]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Build per-shard blooms from the seen table; returns shard -> bytes.
+    * Runs as one distributed aggregation grouped by shard.
+    */
+  def buildShardedBlooms(
+      seen: DataFrame,
+      nShards: Int,
+      expectedItemsPerShard: Long,
+      fpp: Double
+  ): Map[Int, Array[Byte]] = {
+    val spark = seen.sparkSession
+    import spark.implicits._
+    val agg = new BloomAgg(expectedItemsPerShard, fpp).toColumn
+    seen
+      .select(pmod(col("urlHash"), lit(nShards.toLong)).cast("int").as("shard"),
+        col("urlHash"))
+      .as[(Int, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("bloom"))
+      .collect()
+      .toMap
+  }
+
+  /** Bloom pre-filter: keep candidates that are definitely-new in their
+    * shard's bloom OR that hit it (maybe-seen -> fall through to the exact
+    * join). Implemented as a deserialize-once-per-partition filter over the
+    * broadcast shard map.
+    */
+  def bloomPrefilter(
+      candidates: DataFrame,
+      blooms: Map[Int, Array[Byte]],
+      nShards: Int
+  ): (DataFrame, DataFrame) = {
+    val spark = candidates.sparkSession
+    val bc = spark.sparkContext.broadcast(blooms)
+    val mightContain = udf { (hash: Long) =>
+      val shard = ((hash % nShards) + nShards) % nShards
+      bc.value.get(shard.toInt).exists { bytes =>
+        Filters.deserialize(bytes).mightContainLong(hash)
+      }
+    }
+    val tagged = candidates.withColumn("_maybe_seen", mightContain(col("urlHash")))
+    val definitelyNew = tagged.filter(!col("_maybe_seen")).drop("_maybe_seen")
+    val maybeSeen = tagged.filter(col("_maybe_seen")).drop("_maybe_seen")
+    (definitelyNew, maybeSeen)
+  }
+
+  /** Exact tier: candidates whose urlHash is not in seen (left-anti). */
+  def exactAntiJoin(candidates: DataFrame, seen: DataFrame): DataFrame =
+    candidates.join(seen.select(col("urlHash")), Seq("urlHash"), "left_anti")
+
+  /** In-batch dedup: keep the first occurrence of each urlHash in FIFO
+    * order (lowest (parentSeq, emissionIdx)). Window partitioned by
+    * urlHash -> fully parallel.
+    */
+  def firstOccurrence(candidates: DataFrame, orderKey: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("urlHash")).orderBy(orderKey)
+    candidates
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .drop("_rk")
+  }
+
+  /** Merge two shard->bloom maps (driver-side incremental maintenance:
+    * each round only the NEW hashes are aggregated into delta blooms,
+    * then merged into the running ledger).
+    */
+  def mergeBlooms(
+      base: Map[Int, Array[Byte]],
+      delta: Map[Int, Array[Byte]]
+  ): Map[Int, Array[Byte]] = {
+    val keys = base.keySet ++ delta.keySet
+    keys.map { k =>
+      (base.get(k), delta.get(k)) match {
+        case (Some(b), Some(d)) =>
+          val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))
+          bf.mergeInPlace(
+            BloomFilter.readFrom(new java.io.ByteArrayInputStream(d)))
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          k -> bos.toByteArray
+        case (Some(b), None) => k -> b
+        case (None, Some(d)) => k -> d
+        case _ => throw new IllegalStateException
+      }
+    }.toMap
+  }
+}
+
+/** Executor-side bloom deserialization cache: the broadcast ships bytes
+  * once; each executor materializes the BloomFilter object at most once
+  * per byte array (identity-keyed).
+  */
+object Filters {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Array[Byte], BloomFilter]()
+  def deserialize(bytes: Array[Byte]): BloomFilter =
+    cache.computeIfAbsent(bytes, b =>
+      BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
+}

@@ -1,0 +1,405 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.canon.Canon
+import graft.dedup.Seen
+import graft.model._
+import graft.politeness.Politeness
+import graft.router.{FlowControl, Router}
+
+/** The batch-iterative crawl loop (SURVEY §3.1): each round is ONE typed
+  * Dataset job
+  *
+  *   frontier_k -> canonicalize -> dedup(bloom ⊕ anti-join seen) ->
+  *   robots filter -> politeness window-rank/limit -> scheduled_k ->
+  *   fetch (join docs) -> routed handlers -> children ∪ overBudget ->
+  *   frontier_{k+1}; seen ∪= scheduled_k; manifest_k
+  *
+  * re-expressing the reference run loop
+  * (spire-rs/spire crates/spire-core/src/process/runner.rs:103-177).
+  * The reference executes requests effectively sequentially
+  * (runner.rs:146-155 — `.then` before `buffer_unordered`), which is what
+  * makes "exact crawl order" well-defined; here the ORDER is the contract,
+  * not the schedule: every scheduled row gets a deterministic global FIFO
+  * `seq` (SURVEY §3.4) while execution is fully parallel.
+  *
+  * Scale notes (axis A):
+  *  - frontier/seen are explicitly hash-partitioned on urlHash
+  *    (cfg.frontierPartitions buckets) — the dedup anti-join co-partitions.
+  *  - seq assignment is two-level: a per-parent `row_number` window
+  *    (parallel, partitioned by parentSeq) plus a prefix-sum over the
+  *    per-parent counts (one row per parent — orders of magnitude smaller
+  *    than the children set), so no global window ever sees the full
+  *    frontier.
+  *  - fetch joins broadcast the scheduled side when it is under the
+  *    per-round budget threshold (docs is the 100TB side; never shuffle it
+  *    on the build path).
+  *  - every round ends in a parquet checkpoint + manifest: cuts the
+  *    iterative lineage AND provides resume (north rule).
+  */
+object CrawlEngine {
+
+  /** Candidate (pre-schedule) frontier columns. */
+  private val candCols = Seq(
+    "url", "canonical", "urlHash", "host", "tag", "depth", "priority",
+    "discoveryRound", "parentSeq", "emissionIdx", "path")
+
+  case class RunResult(
+      rounds: Int,
+      totalScheduled: Long,
+      metrics: Seq[RoundMetrics],
+      workDir: String) {
+    private def roundDirs(name: String): Seq[String] = {
+      val base = java.nio.file.Paths.get(workDir, name)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(base).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("round="))
+        .map(_.toString).toSeq.sorted
+    }
+    def trace(spark: SparkSession): DataFrame =
+      spark.read.parquet(roundDirs("trace"): _*).drop("_bucket")
+    def records(spark: SparkSession): DataFrame =
+      spark.read.parquet(roundDirs("records"): _*).drop("_bucket")
+  }
+
+  /** Canonicalize seeds into candidate rows. Seeds enter in REVERSE
+    * registration order (reference drains its seed Vec from the end:
+    * runner.rs:110-121): emissionIdx = maxIdx - registrationIdx.
+    * In LIFO mode the reversal is cancelled by stack pops — seeds process
+    * in registration order (SURVEY §3.4) — hence path = [registrationIdx].
+    */
+  def seedCandidates(spark: SparkSession, seeds: Seq[Seed], lifo: Boolean): DataFrame = {
+    import spark.implicits._
+    val maxIdx = seeds.size - 1
+    val df = seeds.toDF()
+    df.select(
+      col("url"),
+      Canon.canonicalize(col("url")).as("canonical"),
+      col("tag"),
+      lit(1).as("depth"),
+      lit(0).as("priority"),
+      lit(0).as("discoveryRound"),
+      lit(-1L).as("parentSeq"),
+      (if (lifo) col("registrationIdx")
+       else lit(maxIdx) - col("registrationIdx")).cast("int").as("emissionIdx"),
+      array(col("registrationIdx").cast("long")).as("path"))
+      .filter(col("canonical").isNotNull)
+      .withColumn("urlHash", Canon.urlHash(col("canonical")))
+      .withColumn("host", Canon.host(col("canonical")))
+      .select(candCols.map(col).toIndexedSeq: _*)
+  }
+
+  /** Deterministic global FIFO seq for this round's scheduled rows.
+    * Two-level: within-parent rank (parallel window) + per-parent offsets
+    * (prefix sum over the tiny per-parent count table, broadcast back).
+    */
+  def assignSeq(scheduled: DataFrame, nextSeq: Long): DataFrame = {
+    val wIn = Window.partitionBy(col("parentSeq")).orderBy(col("emissionIdx"))
+    val ranked = scheduled.withColumn("_rk", row_number().over(wIn))
+    val offsets = ranked.groupBy(col("parentSeq").as("_ps"))
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_off",
+        coalesce(
+          sum(col("_cnt")).over(
+            Window.orderBy(col("_ps"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("_cnt")
+    ranked
+      .join(broadcast(offsets), ranked("parentSeq") === offsets("_ps"))
+      .withColumn("seq", lit(nextSeq) + col("_off") + col("_rk") - 1)
+      .drop("_ps", "_off", "_rk")
+  }
+
+  /** One full crawl. `docs` is the corpus table (doc_id = canonical URL,
+    * spans = interleaved content). Returns per-round metrics; the trace /
+    * records / seen tables live under `workDir`.
+    */
+  def run(
+      spark: SparkSession,
+      docs: DataFrame,
+      seeds: Seq[Seed],
+      robots: Dataset[RobotsRule],
+      router: Router,
+      cfg: CrawlConfig,
+      workDir: String,
+      startRound: Int = 0,
+      resumeState: Option[(DataFrame, DataFrame, Long)] = None
+  ): RunResult = {
+    import spark.implicits._
+
+    var frontier = resumeState.map(_._1)
+      .getOrElse(seedCandidates(spark, seeds, cfg.lifo))
+    var seen = resumeState.map(_._2).getOrElse(
+      spark.emptyDataset[SeenEntry].toDF())
+    var nextSeq = resumeState.map(_._3).getOrElse(0L)
+    var round = startRound
+    var metrics = Vector.empty[RoundMetrics]
+    // politeness defer ledger (reference apply_defer, runner.rs:289-306):
+    // tag -> earliest eligible round. "__every__" mirrors the reference
+    // deferring Tag::Fallback on TagQuery::Every.
+    var deferLedger = Map.empty[String, Int]
+    // incremental per-shard bloom ledger over all seen urlHashes: each
+    // round only the delta (this round's scheduled hashes) is aggregated
+    // distributively, then merged driver-side and broadcast next round.
+    var bloomLedger = Map.empty[Int, Array[Byte]]
+    // on resume, rebuild the bloom ledger from the checkpointed seen table
+    if (resumeState.isDefined && cfg.dedup && cfg.useBloomPrefilter &&
+        nextSeq > 0) {
+      bloomLedger = Seen.buildShardedBlooms(seen, cfg.bloomShards,
+        cfg.bloomExpectedItems, cfg.bloomFpp)
+    }
+
+    var frontierCount = frontier.count()
+    while (frontierCount > 0 && round < cfg.maxRounds) {
+      val t0 = System.nanoTime()
+
+      // 1. defer enforcement (engine mode only; reference records but
+      //    never consumes its ledger — runner.rs:224-226)
+      val (eligible0, deferred) =
+        if (cfg.enforceDefer && deferLedger.nonEmpty) {
+          val blockedTags = deferLedger.filter(_._2 > round).keys.toSeq
+          val everyBlocked = blockedTags.contains("__every__")
+          if (everyBlocked) (frontier.limit(0), frontier)
+          else if (blockedTags.isEmpty) (frontier, frontier.limit(0))
+          else (frontier.filter(col("tag").isNull ||
+                  !col("tag").isin(blockedTags: _*)),
+                frontier.filter(col("tag").isNotNull &&
+                  col("tag").isin(blockedTags: _*)))
+        } else (frontier, frontier.limit(0))
+
+      // 2. dedup: bloom prefilter (fast negatives, per-shard broadcast)
+      //    -> exact anti-join (only bloom-positive candidates pay it)
+      //    -> in-batch first-occurrence. Exactness is guaranteed by the
+      //    anti-join regardless of bloom fpp.
+      val eligible1 =
+        if (!cfg.dedup) eligible0
+        else {
+          val notSeen =
+            if (cfg.useBloomPrefilter && bloomLedger.nonEmpty) {
+              val (defNew, maybe) =
+                Seen.bloomPrefilter(eligible0, bloomLedger, cfg.bloomShards)
+              defNew.unionByName(Seen.exactAntiJoin(maybe, seen))
+            } else if (nextSeq == 0) eligible0 // seen is empty on round 0
+            else Seen.exactAntiJoin(eligible0, seen)
+          Seen.firstOccurrence(notSeen,
+            struct(col("parentSeq"), col("emissionIdx")))
+        }
+
+      // 3. robots + politeness budget
+      val allowed = Politeness.robotsFilter(eligible1, robots)
+      val (underBudget, overBudget) =
+        Politeness.budgetRank(allowed, cfg.defaultHostBudget)
+
+      // 4. depth bound + seq assignment
+      val bounded = underBudget.filter(col("depth") <= cfg.maxDepth)
+      val scheduled = assignSeq(bounded, nextSeq)
+      val schedStat = TableIO.writeRound(
+        scheduled, workDir, "scheduled", round, "urlHash",
+        cfg.frontierPartitions)
+      val scheduledBack = TableIO.readRound(spark, workDir, "scheduled", round)
+      val scheduledCount = schedStat.rows
+
+      // 5. fetch = deterministic join against docs (S6: the reference's
+      //    reqwest backend drops bodies anyway — conversion.rs:9-10,36-37;
+      //    our corpus IS the response). docs is the 100TB side: it must be
+      //    scanned once and never shuffled. A plain left-outer join cannot
+      //    broadcast its preserved (scheduled) side, so decompose:
+      //      hits   = docs ⋈ broadcast(scheduled)   (inner, build=sched)
+      //      misses = scheduled ⟕̸ hits              (small ⋈ small)
+      //    When the round is over the broadcast threshold, fall back to a
+      //    shuffled left join (AQE re-plans if stats allow).
+      val emptySpansT =
+        "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+      // `fetched` feeds several downstream actions (trace, records,
+      // children, metrics); persist it so docs is scanned exactly ONCE
+      // per round.
+      val roundCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      val fetched = (
+        if (scheduledCount > 0 && scheduledCount < 5000000L) {
+          val hits = docs.withColumnRenamed("doc_id", "_doc_id")
+            .join(broadcast(scheduledBack),
+              col("canonical") === col("_doc_id"), "inner")
+            .drop("_doc_id")
+            .withColumn("status", lit(200))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          roundCaches += hits
+          val misses = scheduledBack
+            .join(hits.select(col("urlHash").as("_hit")),
+              col("urlHash") === col("_hit"), "left_anti")
+            .withColumn("status", lit(404))
+            .withColumn("spans", lit(null).cast(emptySpansT))
+          hits.unionByName(misses.select(hits.columns.map(col).toIndexedSeq: _*))
+        } else {
+          scheduledBack
+            .join(docs.withColumnRenamed("doc_id", "_doc_id"),
+              col("canonical") === col("_doc_id"), "left")
+            .withColumn("status",
+              when(col("_doc_id").isNotNull, lit(200)).otherwise(lit(404)))
+            .withColumn("spans",
+              coalesce(col("spans"), lit(null).cast(emptySpansT)))
+            .drop("_doc_id")
+        }
+      ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      roundCaches += fetched
+
+      // 6. route through handlers -> children + outcome columns
+      val routed = router(fetched)
+        .withColumn("children",
+          when(col("status") === 200, col("children"))
+            .otherwise(graft.router.Handler.noChildren))
+        .withColumn("outcome",
+          when(col("status") === 200, col("outcome"))
+            .otherwise(FlowControl.mk(lit("hold"), lit("owner"), lit(0L))))
+
+      // 7. trace + records sink (S4: typed data sink -> parquet append)
+      val trace = routed.select(
+        col("seq"), col("url"), col("canonical"), col("urlHash"),
+        col("host"), col("tag"), col("depth"), col("priority"),
+        col("discoveryRound"), col("parentSeq"), col("path"),
+        col("status"), col("outcome.outcome").as("outcome"),
+        lit(round).as("round"),
+        size(filter(col("spans"), s => s("kind") === "link")).as("n_links"))
+      TableIO.writeRound(trace, workDir, "trace", round, "urlHash",
+        cfg.frontierPartitions)
+      val records = routed.filter(col("status") === 200).select(
+        col("canonical").as("url"),
+        get(filter(col("spans"), s => s("kind") === "text"), lit(0))
+          .getField("text").as("title"),
+        size(col("spans")).cast("long").as("contentLength"),
+        size(filter(col("spans"), s => s("kind") === "link")).as("nLinks"),
+        size(filter(col("spans"), s => s("kind") === "media")).as("nMedia"),
+        lit(round).as("scrapedRound"),
+        col("urlHash"))
+      TableIO.writeRound(records, workDir, "records", round, "urlHash",
+        cfg.frontierPartitions)
+
+      // 8. defer ledger update from outcomes (apply_defer semantics:
+      //    notBefore[key] = max(existing, now) + d, in round units)
+      if (cfg.enforceDefer) {
+        val defers = routed
+          .filter(col("outcome.deferMs") > 0)
+          .select(col("tag"), col("outcome.deferQuery").as("q"),
+            col("outcome.deferMs").as("ms"))
+          .groupBy(col("tag"), col("q")).agg(max(col("ms")).as("ms"))
+          .collect()
+        defers.foreach { r =>
+          val tag = r.getString(0); val q = r.getString(1)
+          val dRounds = math.max(1,
+            math.ceil(r.getLong(2).toDouble / cfg.msPerRound).toInt)
+          val key = q match {
+            case "every" => "__every__"
+            case s if s != null && s.startsWith("single:") =>
+              s.stripPrefix("single:")
+            case _ => tag // owner; null tag (Fallback) never matches: skip
+          }
+          if (key != null) {
+            val base = math.max(deferLedger.getOrElse(key, round), round)
+            deferLedger += key -> (base + dRounds)
+          }
+        }
+      }
+
+      // 9. children -> next-round candidates (F9 depth rules: branch = +1,
+      //    inherit tag when child tag is null)
+      val children = routed
+        .select(col("seq").as("parentSeq"), col("tag").as("_ptag"),
+          col("depth").as("_pdepth"), col("path").as("_ppath"),
+          explode_outer(col("children")).as("c"))
+        .filter(col("c").isNotNull)
+        .select(
+          col("c.url").as("url"),
+          Canon.canonicalize(col("c.url")).as("canonical"),
+          coalesce(col("c.tag"), col("_ptag")).as("tag"),
+          (col("_pdepth") +
+            when(col("c.branch"), lit(1)).otherwise(lit(0))).as("depth"),
+          col("c.priority").as("priority"),
+          lit(round + 1).as("discoveryRound"),
+          col("parentSeq"),
+          col("c.emissionIdx").as("emissionIdx"),
+          concat(col("_ppath"),
+            // LIFO stack pops last-emitted first: sibling order key is
+            // -emissionIdx (SURVEY §3.4); FIFO ignores path.
+            array((lit(0L) - col("c.emissionIdx")).cast("long"))).as("path"))
+        .filter(col("canonical").isNotNull && col("depth") <= cfg.maxDepth)
+        .withColumn("urlHash", Canon.urlHash(col("canonical")))
+        .withColumn("host", Canon.host(col("canonical")))
+        .select(candCols.map(col).toIndexedSeq: _*)
+
+      // 10. next frontier + seen, checkpointed (lineage cut + resume point)
+      val nextFrontier = children
+        .unionByName(overBudget.select(candCols.map(col).toIndexedSeq: _*))
+        .unionByName(deferred.select(candCols.map(col).toIndexedSeq: _*))
+      val newSeen = scheduledBack.select(
+        col("urlHash"), col("canonical"),
+        col("seq").as("firstSeq"), lit(round).as("round"))
+      val nextSeen = seen.unionByName(newSeen)
+
+      val frontStat = TableIO.writeRound(nextFrontier, workDir, "frontier",
+        round, "urlHash", cfg.frontierPartitions)
+      val seenStat = TableIO.writeRound(nextSeen, workDir, "seen", round,
+        "urlHash", cfg.frontierPartitions)
+
+      // bloom ledger delta: aggregate only this round's new hashes
+      if (cfg.dedup && cfg.useBloomPrefilter && scheduledCount > 0) {
+        // fixed sizing across rounds: BloomFilter.mergeInPlace requires
+        // identical bit-size/hash-count, so every delta uses the same
+        // expectedItems (per-shard capacity, a scale knob in CrawlConfig)
+        val delta = Seen.buildShardedBlooms(newSeen, cfg.bloomShards,
+          cfg.bloomExpectedItems, cfg.bloomFpp)
+        bloomLedger = Seen.mergeBlooms(bloomLedger, delta)
+      }
+
+      // 11. metrics + manifest commit
+      val (succ, fail) = {
+        val r = routed.agg(
+          sum(when(FlowControl.isSuccess(col("outcome.outcome")), 1L)
+            .otherwise(0L)).as("s"),
+          sum(when(FlowControl.isSuccess(col("outcome.outcome")), 0L)
+            .otherwise(1L)).as("f")).collect()(0)
+        (if (r.isNullAt(0)) 0L else r.getLong(0),
+          if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      val m = RoundMetrics(round, frontierCount, scheduledCount,
+        frontStat.rows, seenStat.rows - (nextSeq /* == prior seen size */),
+        succ, fail, (System.nanoTime() - t0) / 1000000L)
+      TableIO.writeManifest(workDir, round,
+        TableIO.manifestJson(round, Seq(schedStat, frontStat, seenStat), m,
+          completed = true))
+      metrics :+= m
+
+      // 12. advance (read back from checkpoint: plan restarts at scan)
+      roundCaches.foreach(_.unpersist(blocking = false))
+      frontier = TableIO.readRound(spark, workDir, "frontier", round)
+      seen = TableIO.readRound(spark, workDir, "seen", round)
+      nextSeq += scheduledCount
+      frontierCount = frontStat.rows
+      round += 1
+    }
+
+    RunResult(round, nextSeq, metrics, workDir)
+  }
+
+  /** Resume after the latest completed round's manifest (north rule:
+    * any round is resumable from checkpoint).
+    */
+  def resume(
+      spark: SparkSession,
+      docs: DataFrame,
+      seeds: Seq[Seed],
+      robots: Dataset[RobotsRule],
+      router: Router,
+      cfg: CrawlConfig,
+      workDir: String
+  ): RunResult = {
+    val last = TableIO.latestCompletedRound(workDir)
+    if (last < 0) return run(spark, docs, seeds, robots, router, cfg, workDir)
+    val frontier = TableIO.readRound(spark, workDir, "frontier", last)
+    val seen = TableIO.readRound(spark, workDir, "seen", last)
+    val nextSeq = seen.count()
+    run(spark, docs, seeds, robots, router, cfg, workDir,
+      startRound = last + 1, resumeState = Some((frontier, seen, nextSeq)))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.engine
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-style table layout without an Iceberg runtime (none ships in
+  * /opt/spark/jars — SURVEY §1.4): hash-partitioned parquet per round plus
+  * a per-round JSON manifest carrying row counts, per-partition lineage
+  * (rows + content hash per hash-bucket) and completion markers. Gives the
+  * same operational capabilities the north rule asks of Iceberg here:
+  * atomic round commits (manifest written last, via temp-file rename),
+  * resumability (latest manifest with completed=true), and partition-level
+  * audit.
+  */
+object TableIO {
+
+  case class PartStat(bucket: Int, rows: Long, contentHash: Long)
+
+  case class TableStat(name: String, rows: Long, parts: Seq[PartStat])
+
+  /** Write `df` for round `round` under `dir/name/round=<k>`, explicitly
+    * repartitioned on `hashCol` into `buckets` buckets (axis A: the layout
+    * is the scale knob — at 10^10 rows only `buckets` changes).
+    * Returns per-bucket lineage stats computed in the same pass shape.
+    */
+  def writeRound(
+      df: DataFrame,
+      dir: String,
+      name: String,
+      round: Int,
+      hashCol: String,
+      buckets: Int
+  ): TableStat = {
+    val path = s"$dir/$name/round=$round"
+    val bucketed = df.withColumn("_bucket",
+      pmod(col(hashCol), lit(buckets.toLong)).cast("int"))
+    bucketed
+      .repartition(buckets, col("_bucket"))
+      .write.mode("overwrite").parquet(path)
+    val back = df.sparkSession.read.parquet(path)
+    val rowHash = xxhash64(back.columns.filterNot(_ == "_bucket")
+      .sorted.map(col).toIndexedSeq: _*)
+    val stats = back
+      .select(col("_bucket"), rowHash.as("_h"))
+      .groupBy(col("_bucket"))
+      .agg(count(lit(1)).as("rows"), expr("bit_xor(_h)").as("ch"))
+      .collect()
+      .map(r => PartStat(r.getInt(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_.bucket)
+    TableStat(name, stats.map(_.rows).sum, stats)
+  }
+
+  /** Read a round's table back (lineage cut: the plan restarts from the
+    * parquet scan — the known fix for iterative-Dataset plan growth).
+    */
+  def readRound(spark: SparkSession, dir: String, name: String, round: Int): DataFrame =
+    spark.read.parquet(s"$dir/$name/round=$round").drop("_bucket")
+
+  // ---- manifest ----
+
+  def manifestJson(
+      round: Int,
+      tables: Seq[TableStat],
+      metrics: graft.model.RoundMetrics,
+      completed: Boolean
+  ): String = {
+    def parts(ps: Seq[PartStat]) = ps.map(p =>
+      s"""{"bucket":${p.bucket},"rows":${p.rows},"content_hash":${p.contentHash}}""")
+      .mkString("[", ",", "]")
+    val ts = tables.map(t =>
+      s""""${t.name}":{"rows":${t.rows},"partitions":${parts(t.parts)}}""")
+      .mkString("{", ",", "}")
+    val m = metrics
+    s"""{"round":$round,"tables":$ts,"metrics":{"frontier_rows":${m.frontierRows},""" +
+      s""""scheduled_rows":${m.scheduledRows},"emitted_children":${m.emittedChildren},""" +
+      s""""seen_delta":${m.seenDelta},"success":${m.success},"failure":${m.failure},""" +
+      s""""wall_ms":${m.wallMs}},"completed":$completed}"""
+  }
+
+  /** Atomic manifest commit: write temp then rename. */
+  def writeManifest(dir: String, round: Int, json: String): Unit = {
+    val mdir = Paths.get(dir, "_manifests")
+    Files.createDirectories(mdir)
+    val tmp = mdir.resolve(s".round-$round.json.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, mdir.resolve(s"round-$round.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Latest round with a completed=true manifest, or -1. */
+  def latestCompletedRound(dir: String): Int = {
+    val mdir = Paths.get(dir, "_manifests")
+    if (!Files.isDirectory(mdir)) return -1
+    Files.list(mdir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("round-") && s.endsWith(".json") =>
+        val body = new String(
+          Files.readAllBytes(mdir.resolve(s)), StandardCharsets.UTF_8)
+        (s.stripPrefix("round-").stripSuffix(".json").toInt,
+          body.contains("\"completed\":true"))
+      }
+      .collect { case (r, true) => r }
+      .foldLeft(-1)(math.max)
+  }
+
+  def readManifest(dir: String, round: Int): String =
+    new String(Files.readAllBytes(
+      Paths.get(dir, "_manifests", s"round-$round.json")), StandardCharsets.UTF_8)
+}

@@ -1,0 +1,162 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/** Core data model for the Spark-native crawl engine.
+  *
+  * Re-expresses the reference's request/response/dataset abstractions
+  * (spire-rs/spire: crates/spire-core/src/context/http_body.rs:137,
+  * request_extend.rs:39-184, dataset/mod.rs:143-176) as typed rows of
+  * partitioned Datasets. See SURVEY.md §1.
+  */
+
+/** One frontier element == one pending request.
+  *
+  * Mirrors `http::Request` + its `Extensions` (Tag, Depth) from the
+  * reference (crates/spire-core/src/context/request_extend.rs:39-114):
+  *  - `tag`   null => fallback route (reference `Tag::Fallback`)
+  *  - `depth` always >= 1 (reference `Depth(NonZeroU32)` clamps 0 -> 1)
+  *  - `seq` is the global FIFO dequeue order (SURVEY §3.4): the crawl-order
+  *    contract is carried by this column, not by the physical schedule.
+  */
+case class FrontierEntry(
+    url: String,
+    canonical: String,
+    urlHash: Long,
+    host: String,
+    tag: String, // null => fallback
+    depth: Int,
+    priority: Int,
+    discoveryRound: Int,
+    seq: Long,
+    parentSeq: Long, // -1 for seeds
+    emissionIdx: Int
+)
+
+/** A seed registration (reference: Client::with_initial_request,
+  * crates/spire-core/src/process/client.rs:196-250). Seeds enter the queue
+  * in REVERSE registration order (process/runner.rs:110-121).
+  */
+case class Seed(url: String, tag: String, registrationIdx: Int)
+
+/** One interleaved-document span (BASELINE.json input_hint).
+  * kind: 'text' | 'media' | 'link'; mediaRef: null for text, the media
+  * reference for media, the href for links. `offset` defines order.
+  */
+case class Span(kind: String, text: String, media_ref: String, offset: Int)
+
+/** One corpus document: doc_id is the canonical URL of the page. */
+case class Doc(doc_id: String, spans: Seq[Span])
+
+/** Fetch output for one scheduled request: frontier entry + resolved spans.
+  * Re-expresses `Context::resolve` (context/mod.rs:49-55); in the engine
+  * "fetch" is a deterministic join frontier >< docs on urlHash.
+  */
+case class FetchResult(
+    url: String,
+    canonical: String,
+    urlHash: Long,
+    host: String,
+    tag: String,
+    depth: Int,
+    seq: Long,
+    status: Int,
+    spans: Seq[Span]
+)
+
+/** FlowControl outcome of one handled request (reference
+  * crates/spire-core/src/context/flow_control.rs:74-90):
+  * outcome in {continue, skip, wait, hold, fail};
+  * deferQuery in {owner, single:<tag>, every, null}; deferMs the duration.
+  */
+case class RoundOutcome(
+    seq: Long,
+    urlHash: Long,
+    tag: String,
+    outcome: String,
+    deferQuery: String,
+    deferMs: Long
+)
+
+/** Extracted page record, modeled on the reference example record
+  * (examples/basic_usage/data.rs:8-15 `PageContent`).
+  */
+case class PageRecord(
+    url: String,
+    title: String,
+    contentLength: Long,
+    nLinks: Int,
+    nMedia: Int,
+    scrapedRound: Int
+)
+
+/** URL-seen store row (SURVEY §2.6): hash-partitioned on urlHash. */
+case class SeenEntry(urlHash: Long, canonical: String, firstSeq: Long, round: Int)
+
+/** Politeness / robots rule for one host (broadcast table).
+  * The reference only gestures at politeness via Wait/Hold signals
+  * (flow_control.rs:84-86); the engine enforces budgets + robots.
+  */
+case class RobotsRule(
+    host: String,
+    disallow: Seq[String],
+    crawlDelayMs: Long,
+    hostBudget: Int
+)
+
+/** Per-round metrics, mirroring the reference success/failure accounting
+  * (backend/utils/metric.rs:126-155): success = Continue|Wait,
+  * failure = Skip|Hold|Fail.
+  */
+case class RoundMetrics(
+    round: Int,
+    frontierRows: Long,
+    scheduledRows: Long,
+    emittedChildren: Long,
+    seenDelta: Long,
+    success: Long,
+    failure: Long,
+    wallMs: Long
+)
+
+object Schemas {
+  val span: StructType = StructType(Seq(
+    StructField("kind", StringType),
+    StructField("text", StringType),
+    StructField("media_ref", StringType),
+    StructField("offset", IntegerType)
+  ))
+  val doc: StructType = StructType(Seq(
+    StructField("doc_id", StringType),
+    StructField("spans", ArrayType(span))
+  ))
+}
+
+/** Engine configuration knobs (axis A: explicit partitioning choices).
+  *
+  * @param frontierPartitions shuffle/partition count for the frontier and
+  *   seen tables — hash-partitioned on urlHash so the layout is scale-free:
+  *   at 10^10 URLs only this count grows, the plan shape is unchanged.
+  * @param lifo false = FIFO/BFS (reference registry default,
+  *   dataset/registry.rs:115-131); true = LIFO/DFS ordering key
+  *   (examples use InMemDataset::stack(), examples/basic_usage/main.rs:82).
+  * @param dedup reference-exact mode never dedups (SURVEY §3.4); engine
+  *   mode dedups against the seen table.
+  * @param enforceDefer reference records Wait/Hold deadlines but never
+  *   consumes them (runner.rs:224-226); engine mode re-queues deferred tags.
+  * @param msPerRound logical-clock conversion for defer durations.
+  */
+case class CrawlConfig(
+    maxRounds: Int = 10,
+    maxDepth: Int = 10,
+    defaultHostBudget: Int = Int.MaxValue,
+    frontierPartitions: Int = 32,
+    bloomShards: Int = 8,
+    bloomExpectedItems: Long = 1000000L,
+    bloomFpp: Double = 0.03,
+    lifo: Boolean = false,
+    dedup: Boolean = true,
+    enforceDefer: Boolean = false,
+    msPerRound: Long = 1000L,
+    useBloomPrefilter: Boolean = true
+)

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.canon.Canon
+
+class CanonSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("url").select(Canon.canonicalize($"url")).as[String].collect().toSeq
+
+  test("canonicalization table") {
+    val cases = Seq(
+      "http://Example.COM/path" -> "http://example.com/path",
+      "HTTP://example.com:80/path" -> "http://example.com/path",
+      "https://example.com:443/x" -> "https://example.com/x",
+      "https://example.com:8443/x" -> "https://example.com:8443/x",
+      "http://example.com" -> "http://example.com/",
+      "http://example.com/" -> "http://example.com/",
+      "http://example.com/a/" -> "http://example.com/a",
+      "http://example.com/p?b=2&a=1" -> "http://example.com/p?a=1&b=2",
+      "http://example.com/p?z=1#frag" -> "http://example.com/p?z=1",
+      "http://example.com/#frag" -> "http://example.com/",
+      "  http://example.com/x  " -> "http://example.com/x",
+      "http://h0.test/page/7" -> "http://h0.test/page/7"
+    )
+    val got = canon(cases.map(_._1): _*)
+    cases.map(_._2).zip(got).zip(cases.map(_._1)).foreach {
+      case ((want, g), in) => assert(g == want, s"input: $in")
+    }
+  }
+
+  test("non-URL input canonicalizes to null (dropped upstream)") {
+    assert(canon("not a url", "mailto:x@y.z").forall(_ == null))
+  }
+
+  test("idempotence: canon(canon(u)) == canon(u) (property)") {
+    val urls = (0 until 200).map { i =>
+      s"HTTP://H${i % 7}.Test:${if (i % 3 == 0) "80" else "8080"}/p/$i/?b=$i&a=1#f"
+    }
+    val once = canon(urls: _*)
+    val twice = canon(once: _*)
+    assert(once == twice)
+  }
+
+  test("host + hash extraction") {
+    val r = Seq("https://Sub.Example.org:9999/a?x=1")
+      .toDF("url")
+      .select(Canon.host($"url"), Canon.urlHash(Canon.canonicalize($"url")))
+      .as[(String, Long)].head()
+    assert(r._1 == "sub.example.org")
+  }
+}

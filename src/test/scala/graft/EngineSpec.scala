@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.corpus.Corpus
+import graft.engine.{CrawlEngine, TableIO}
+import graft.model.{CrawlConfig, RobotsRule}
+import graft.oracle.Oracle
+import graft.router.{Handler, Router}
+
+/** Golden-trace equality between the Spark engine and the sequential
+  * in-memory oracle (SURVEY §3.4, §5.2): crawl order (seq), URL-seen set,
+  * depth/tag/parent bookkeeping — exact match required (north rule).
+  */
+class EngineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val spec = Corpus.Spec(nDocs = 200, nHosts = 10, maxLinks = 4)
+  private lazy val docsDf = Corpus.docs(spark, spec).cache()
+  private lazy val docsMap = Corpus.docsLocal(spec)
+    .map(d => d.doc_id -> d.spans).toMap
+  private val seeds = Corpus.seedsLocal(4, spec)
+  // fallback also follows links: the oracle models link discovery for
+  // every request regardless of tag (routing is exercised separately)
+  private val router = Router(Map("page" -> Handler.linkFollower()),
+    fallback = Handler.linkFollower())
+
+  private def noRobots = spark.emptyDataset[RobotsRule]
+
+  private def runEngine(cfg: CrawlConfig, robots: Seq[RobotsRule] = Seq.empty) = {
+    val dir = SparkTestBase.tmpDir("engine")
+    val r = CrawlEngine.run(spark, docsDf, seeds,
+      if (robots.isEmpty) noRobots else robots.toDS(), router, cfg, dir)
+    (r, r.trace(spark).collect().map(row => Oracle.TraceRow(
+      row.getAs[Long]("seq"), row.getAs[String]("url"),
+      row.getAs[String]("tag"), row.getAs[Int]("depth"),
+      row.getAs[Long]("parentSeq"),
+      row.getAs[scala.collection.Seq[Long]]("path").toList)))
+  }
+
+  test("engine-mode golden trace: dedup + budget + robots == oracle") {
+    val robots = Corpus.robotsLocal(spec, hostBudget = 3)
+    val cfg = CrawlConfig(maxRounds = 6, maxDepth = 4,
+      defaultHostBudget = 3, frontierPartitions = 4, bloomShards = 4,
+      bloomExpectedItems = 10000L)
+    val (_, got) = runEngine(cfg, robots)
+    val want = Oracle.crawlEngineMode(docsMap, seeds, robots,
+      maxDepth = 4, maxRounds = 6, defaultBudget = 3)
+    val gotSorted = got.sortBy(_.seq).map(t =>
+      (t.seq, t.url, t.tag, t.depth, t.parentSeq))
+    val wantSorted = want.sortBy(_.seq).map(t =>
+      (t.seq, t.url, t.tag, t.depth, t.parentSeq))
+    assert(gotSorted.length == wantSorted.length,
+      s"row count: got ${gotSorted.length}, want ${wantSorted.length}")
+    gotSorted.zip(wantSorted).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g == w, s"first mismatch at trace position $i")
+    }
+    // URL-seen set equality (north rule)
+    assert(got.map(_.url).toSet == want.map(_.url).toSet)
+  }
+
+  test("reference-exact FIFO: no dedup, unlimited budget == sequential oracle") {
+    val cfg = CrawlConfig(maxRounds = 3, maxDepth = 3, dedup = false,
+      useBloomPrefilter = false, frontierPartitions = 4)
+    val (_, got) = runEngine(cfg)
+    val want = Oracle.crawlReference(docsMap, seeds, lifo = false, maxDepth = 3)
+    assert(got.length == want.length)
+    got.sortBy(_.seq).zip(want).foreach { case (g, w) =>
+      assert((g.seq, g.url, g.depth, g.tag) == (w.seq, w.url, w.depth, w.tag))
+    }
+  }
+
+  test("reference-exact LIFO: DFS order via path key == sequential oracle") {
+    val cfg = CrawlConfig(maxRounds = 3, maxDepth = 3, dedup = false,
+      useBloomPrefilter = false, lifo = true, frontierPartitions = 4)
+    val (_, got) = runEngine(cfg)
+    val want = Oracle.crawlReference(docsMap, seeds, lifo = true, maxDepth = 3)
+    import scala.math.Ordering.Implicits._
+    val gotOrdered = got.sortBy(_.path.toList).map(t => (t.url, t.depth))
+    assert(gotOrdered.length == want.length)
+    gotOrdered.zip(want.map(t => (t.url, t.depth))).zipWithIndex.foreach {
+      case ((g, w), i) => assert(g == w, s"DFS position $i") }
+  }
+
+  test("per-host budget is never exceeded in any round") {
+    val budget = 2
+    val cfg = CrawlConfig(maxRounds = 5, maxDepth = 4,
+      defaultHostBudget = budget, frontierPartitions = 4)
+    val (r, _) = runEngine(cfg)
+    val perRoundHost = r.trace(spark)
+      .groupBy($"round", $"host").count()
+      .agg(max($"count")).as[Long].head()
+    assert(perRoundHost <= budget)
+  }
+
+  test("resume from checkpoint == straight-through run") {
+    val robots = Corpus.robotsLocal(spec, hostBudget = 3)
+    val base = CrawlConfig(maxRounds = 5, maxDepth = 4,
+      defaultHostBudget = 3, frontierPartitions = 4,
+      bloomExpectedItems = 10000L)
+    val dirA = SparkTestBase.tmpDir("straight")
+    val straight = CrawlEngine.run(spark, docsDf, seeds, robots.toDS(),
+      router, base, dirA)
+    val dirB = SparkTestBase.tmpDir("resumed")
+    CrawlEngine.run(spark, docsDf, seeds, robots.toDS(), router,
+      base.copy(maxRounds = 2), dirB)
+    assert(TableIO.latestCompletedRound(dirB) == 1)
+    val resumed = CrawlEngine.resume(spark, docsDf, seeds, robots.toDS(),
+      router, base, dirB)
+    def key(dir: CrawlEngine.RunResult) = dir.trace(spark)
+      .select($"seq", $"url", $"depth").as[(Long, String, Int)]
+      .collect().sortBy(_._1).toSeq
+    assert(key(straight) == key(resumed))
+    assert(straight.totalScheduled == resumed.totalScheduled)
+  }
+
+  test("defer enforcement: deferred tag skips rounds, crawl still completes") {
+    // a handler that waits 2 logical rounds on every 'page' request
+    val waitingRouter = Router(Map("page" ->
+      Handler(Handler.linkFollower().children,
+        graft.router.FlowControl.waitOwner(lit(2000L)))))
+    val cfg = CrawlConfig(maxRounds = 8, maxDepth = 3, enforceDefer = true,
+      msPerRound = 1000L, frontierPartitions = 4,
+      bloomExpectedItems = 10000L)
+    val dir = SparkTestBase.tmpDir("defer")
+    val r = CrawlEngine.run(spark, docsDf, seeds, noRobots, waitingRouter,
+      cfg, dir)
+    val trace = r.trace(spark)
+    // 'page'-tagged requests must never run in the round right after a
+    // page round (the 2-round defer)
+    val pageRounds = trace.filter($"tag" === "page")
+      .select($"round").distinct().as[Int].collect().sorted
+    pageRounds.sliding(2).foreach {
+      case Array(a, b) => assert(b - a >= 2, s"defer violated: $a -> $b")
+      case _ =>
+    }
+    assert(r.totalScheduled > 0)
+  }
+
+  test("manifest lineage: per-bucket stats present and complete") {
+    val cfg = CrawlConfig(maxRounds = 2, maxDepth = 3,
+      frontierPartitions = 4, bloomExpectedItems = 10000L)
+    val (r, _) = runEngine(cfg)
+    val m = TableIO.readManifest(r.workDir, 0)
+    assert(m.contains("\"completed\":true"))
+    assert(m.contains("\"scheduled\""))
+    assert(m.contains("content_hash"))
+    assert(TableIO.latestCompletedRound(r.workDir) == r.rounds - 1)
+  }
+}

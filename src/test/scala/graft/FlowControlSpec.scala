@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.router.FlowControl
+
+/** The FlowControl conversion matrix must mirror the reference exactly
+  * (spire-rs/spire crates/spire-core/src/context/flow_control.rs:117-191,
+  * error.rs:295-310), including the Err-branch FLIP
+  * (Continue<->Skip, Wait<->Hold). Column impl == Scala impl == spec.
+  */
+class FlowControlSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val cases = Seq(
+    // (kind, isErr, deferMs, queryTag) -> (outcome, deferQuery, deferMs)
+    ("unit", false, 0L, null) -> ("continue", null, 0L),
+    ("unit", true, 0L, null) -> ("skip", null, 0L),
+    ("duration", false, 500L, null) -> ("wait", "owner", 500L),
+    ("duration", true, 500L, null) -> ("hold", "owner", 500L),
+    ("error", false, 0L, null) -> ("hold", "owner", 0L),
+    ("error", true, 0L, null) -> ("hold", "owner", 0L),
+    ("error_query", false, 0L, "single:t1") -> ("fail", "single:t1", 0L),
+    ("error_query", true, 0L, "every") -> ("fail", "every", 0L)
+  )
+
+  test("Scala conversion matches the reference matrix") {
+    cases.foreach { case ((k, e, d, q), want) =>
+      assert(FlowControl.convertLocal(k, e, d, q) == want, s"($k, err=$e)")
+    }
+  }
+
+  test("Column conversion == Scala conversion") {
+    val df = cases.map(_._1).toDF("kind", "isErr", "deferMs", "queryTag")
+    val got = df.select(FlowControl.convert(
+        $"kind", $"isErr", $"deferMs", $"queryTag").as("o"))
+      .select($"o.outcome", $"o.deferQuery", $"o.deferMs")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("success accounting: success = continue|wait (metric.rs:126-155)") {
+    val got = Seq("continue", "wait", "skip", "hold", "fail").toDF("o")
+      .select(FlowControl.isSuccess($"o")).as[Boolean].collect().toSeq
+    assert(got == Seq(true, true, false, false, false))
+  }
+}
