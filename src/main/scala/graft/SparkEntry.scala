@@ -113,7 +113,13 @@ object SparkEntry {
 
   // ---------- operator queries ----------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.PipelineQueries.queries ++ crawlQueries
+
+  def oracleSql: Map[String, String] =
+    graft.queries.PipelineQueries.oracleSql ++ crawlOracleSql
+
+  private def crawlQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // canonicalization (north-rule op, Canon): messy -> canonical
     "q_canon" -> ((s, dir) => {
@@ -251,7 +257,7 @@ object SparkEntry {
 
   // ---------- DuckDB oracles ----------
 
-  def oracleSql: Map[String, String] = Map(
+  private def crawlOracleSql: Map[String, String] = Map(
     "q_canon" ->
       s"""SELECT doc_id, $canonicalSql AS canonical
          FROM documents ORDER BY doc_id""",

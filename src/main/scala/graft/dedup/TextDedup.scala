@@ -1,0 +1,118 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Near-duplicate detection for document corpora — the dedup family a
+  * training-data pipeline needs at 100TB:
+  *
+  *  - exact: hash-groupBy on a normalized fingerprint (one shuffle on the
+  *    16-byte hash, never on the text)
+  *  - MinHash + LSH banding: signatures are computed per-row with pure
+  *    array expressions (NO explode/shuffle for the signature step; the
+  *    only shuffle is the band-bucket self-join, which is exactly the
+  *    candidate-generation step LSH exists to shrink)
+  *  - SimHash: 32-bit sign-aggregated token hashes, hamming-distance pairs
+  *  - n-gram Jaccard: exact set overlap on blocked candidate pairs,
+  *    integer numerator/denominator (portable + exact)
+  *
+  * All hashing goes through TextOps.strHash (md5-derived) so every
+  * operator has a bit-exact DuckDB oracle.
+  */
+object TextDedup {
+
+  import TextOps.P
+
+  /** MinHash permutation params: a_j odd-ish nonzero, b_j arbitrary. */
+  def aCoef(j: Int): Long = (j.toLong * 2654435761L) % P + 1
+  def bCoef(j: Int): Long = (j.toLong * 13L + 7L) % P
+
+  /** h_j(s) = (a_j * (H(s) mod P) + b_j) mod P, H = md5-based strHash.
+    * All intermediates < 2^62.
+    */
+  def minhashOf(shingle: Column, j: Int): Column =
+    (lit(aCoef(j)) * (TextOps.strHash(shingle) % P) + lit(bCoef(j))) % P
+
+  /** k-element MinHash signature as one array column (no shuffle). */
+  def signature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(shingles,
+        s => (element_at(
+          // a/b coefficient lookup tables baked as array literals so the
+          // lambda var j stays a plain index (codegen-friendly)
+          array((0 until k).map(x => lit(aCoef(x))): _*), j + 1)
+          * (TextOps.strHash(s) % P)
+          + element_at(array((0 until k).map(x => lit(bCoef(x))): _*), j + 1))
+          % P)))
+
+  /** LSH band keys: bands of `rowsPerBand` signature slots; key =
+    * "<band>:<v1>_<v2>_..." — docs sharing any band key are candidates.
+    */
+  def bandKeys(sig: Column, k: Int, rowsPerBand: Int): Column = {
+    val nBands = k / rowsPerBand
+    transform(sequence(lit(0), lit(nBands - 1)),
+      b => concat(b.cast("string"), lit(":"),
+        concat_ws("_", transform(
+          slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+          v => v.cast("string")))))
+  }
+
+  /** Candidate near-dup pairs via MinHash LSH: explode band keys, self-join
+    * on the bucket, emit (a, b) with a < b, distinct. The band-bucket
+    * shuffle is hash-partitioned on the key; hot buckets (boilerplate
+    * docs) are the skew case AQE skew-join handles.
+    */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, rowsPerBand: Int): DataFrame = {
+    val withBands = docs.select(
+      col(idCol).as("id"),
+      explode(bandKeys(
+        signature(TextOps.shingles(col(textCol), shingleN), k),
+        k, rowsPerBand)).as("band"))
+    val l = withBands.as("l")
+    val r = withBands.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash: bit i of the result is 1 iff the sum over distinct
+    * tokens of (+1 / -1 by token-hash bit i) is >= 0.
+    */
+  def simhash(text: Column): Column = {
+    val toks = array_distinct(TextOps.tokens(text))
+    val hashes = transform(toks, t => TextOps.strHash(t))
+    val bits = (0 until 32).map { i =>
+      val bitSum = aggregate(hashes, lit(0L),
+        (acc, h) => acc +
+          when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(bitSum >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Exact-duplicate groups by normalized fingerprint: keep the lowest id
+    * as canonical, report group size.
+    */
+  def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("group_size"))
+
+  /** Exact n-gram Jaccard for pairs blocked by `blockCol` (same block
+    * only): returns integer |∩| and |∪| so thresholds compare exactly.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, shingleN: Int): DataFrame = {
+    val s = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      TextOps.shingles(col(textCol), shingleN).as("sh"))
+    val l = s.as("l")
+    val r = s.as("r")
+    l.join(r, col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
+      .select(
+        col("l.id").as("a"), col("r.id").as("b"),
+        size(array_intersect(col("l.sh"), col("r.sh"))).as("inter_n"),
+        size(array_union(col("l.sh"), col("r.sh"))).as("union_n"))
+  }
+}

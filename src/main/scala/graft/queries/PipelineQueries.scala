@@ -1,0 +1,310 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.TextDedup
+import graft.multimodal.Media
+import graft.sim.Ann
+import graft.text.TextOps
+
+/** Training-data pipeline operators as driver queries + generated DuckDB
+  * oracles: text analysis, near-dup dedup (MinHash-LSH / SimHash /
+  * Jaccard / exact), ANN over embeddings, multimodal metadata.
+  *
+  * Oracle-generation helpers build the (sometimes large) ANSI SQL from
+  * the same constants the Spark operators use, so the two sides cannot
+  * drift independently.
+  */
+object PipelineQueries {
+
+  private def documents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  // ---- shared SQL fragments (mirror TextOps/TextDedup/Ann constants) ----
+
+  private val P = TextOps.P
+  private val toksSql =
+    """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"""
+  private def strHashSql(x: String) =
+    s"CAST(('0x' || substring(md5($x), 1, 15)) AS BIGINT)"
+  private def occSql(padded: String, needle: String) =
+    s"CAST((length($padded) - length(replace($padded, '$needle', ''))) / ${needle.length} AS BIGINT)"
+  private def langScoreSql(markers: Seq[String]) = markers
+    .map(m => occSql("concat(' ', lower(text), ' ')", m)).mkString(" + ")
+  /** 3-gram distinct shingles of `toks`. */
+  private val shinglesSql =
+    """list_distinct(CASE WHEN len(toks) >= 3
+       THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+       ELSE [array_to_string(toks, ' ')] END)"""
+  private val qvSql =
+    "[CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) for i in range(1, 65)]"
+  private def dotSql(a: String, b: String) =
+    s"CAST(list_sum([$a[i] * $b[i] for i in range(1, 65)]) AS BIGINT)"
+  private def hyperLit(j: Int): String =
+    Ann.hyper(j, 64).mkString("[", ", ", "]")
+  private def bucketSql(v: String): String =
+    (0 until 8).map { j =>
+      s"(CASE WHEN ${dotSql(v, s"(${hyperLit(j)})")} >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  private def cosSql(v: String, q: String) =
+    s"CAST(${dotSql(v, q)} AS DOUBLE) / " +
+      s"(sqrt(CAST(${dotSql(v, v)} AS DOUBLE)) * sqrt(CAST(${dotSql(q, q)} AS DOUBLE)))"
+
+  // ---------------- queries ----------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_token_count" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")),
+
+    "q_lang_id" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "q_quality" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    "q_fingerprint" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    "q_dedup_exact" -> ((s, dir) =>
+      TextDedup.exactDupGroups(documents(s, dir), "doc_id", "text")
+        .orderBy("fp")),
+
+    "q_simhash" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        TextDedup.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+
+    "q_minhash_pairs" -> ((s, dir) =>
+      TextDedup.minhashPairs(documents(s, dir), "doc_id", "text",
+        shingleN = 3, k = 16, rowsPerBand = 4)
+        .orderBy("a", "b")),
+
+    "q_jaccard_pairs" -> ((s, dir) =>
+      TextDedup.jaccardPairs(documents(s, dir), "doc_id", "text",
+        blockCol = "source", shingleN = 3)
+        .orderBy("a", "b")),
+
+    "q_ann_bruteforce" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(Ann.quantize(col("embedding")).as("qvec"))
+      Ann.bruteForceTopK(e, "vec_id", "embedding", q, 10)
+    }),
+
+    "q_ann_lsh_buckets" -> ((s, dir) =>
+      embeddings(s, dir).select(col("vec_id"),
+        Ann.lshBucket(Ann.quantize(col("embedding")), 64).as("bucket"))
+        .orderBy("vec_id")),
+
+    "q_ann_lsh_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(Ann.quantize(col("embedding")).as("qvec"))
+      Ann.lshTopK(e, "vec_id", "embedding", q, 64, 10)
+        .drop("bucket")
+    }),
+
+    "q_ivf_assign" -> ((s, dir) =>
+      Ann.ivfAssign(embeddings(s, dir), "vec_id", "embedding", stride = 50)
+        .orderBy("id")),
+
+    "q_embed_neardup" -> ((s, dir) =>
+      Ann.nearDupPairs(embeddings(s, dir), "vec_id", "embedding", 64,
+        thrNum = 1, thrDen = 5)
+        .orderBy("a", "b")),
+
+    "q_media_meta" -> ((s, dir) =>
+      Media.mediaMeta(
+        Media.mediaTable(documents(s, dir), "doc_id", "text"))
+        .orderBy("media_id")),
+
+    "q_media_features" -> ((s, dir) => {
+      val media = Media.mediaTable(documents(s, dir), "doc_id", "text")
+      val feats = Media.extractFeatures(media, new Media.StubDecoder(8))
+      feats.select(col("media_id"), col("byte_len"), col("width"),
+          col("height"),
+          round(element_at(col("feature"), 1).cast("double") * 997)
+            .cast("long").as("f0"),
+          round(element_at(col("feature"), 8).cast("double") * 997)
+            .cast("long").as("f7"))
+        .orderBy("media_id")
+    })
+  )
+
+  // ---------------- oracles ----------------
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_token_count" ->
+      s"SELECT doc_id, CAST(len($toksSql) AS INT) AS n_tokens FROM documents ORDER BY doc_id",
+
+    "q_lang_id" -> {
+      val scores = TextOps.langMarkers.map { case (l, ms) =>
+        s"(${langScoreSql(ms)}) AS s_$l"
+      }.mkString(", ")
+      val langs = TextOps.langMarkers.map(_._1)
+      // earliest-listed language attaining the max (matches the fold's
+      // strict-> replacement rule)
+      val cases = langs.zipWithIndex.map { case (l, i) =>
+        val later = langs.drop(i + 1)
+        val cond =
+          if (later.isEmpty) "TRUE"
+          else later.map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $cond THEN '$l'"
+      }.mkString(" ")
+      s"""SELECT doc_id, lang, CASE $cases END AS lang_pred
+          FROM (SELECT doc_id, lang, $scores FROM documents)
+          ORDER BY doc_id"""
+    },
+
+    "q_quality" -> {
+      val stops = langScoreSql(Seq(" the ", " and ", " of ", " a ", " in "))
+      s"""SELECT doc_id,
+            (CASE WHEN n_chars > 0
+              THEN CAST(FLOOR(alpha * 1000.0 / n_chars) AS BIGINT) ELSE 0 END)
+          + (CASE WHEN n_tok > 0
+              THEN CAST(FLOOR(stops * 1000.0 / n_tok) AS BIGINT) ELSE 0 END)
+          + (CASE WHEN n_tok > 0
+              THEN CAST(FLOOR(n_uniq * 1000.0 / n_tok) AS BIGINT) ELSE 0 END)
+            AS quality
+          FROM (SELECT doc_id,
+                  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS alpha,
+                  CAST(length(text) AS BIGINT) AS n_chars,
+                  CAST(len($toksSql) AS BIGINT) AS n_tok,
+                  CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_uniq,
+                  ($stops) AS stops
+                FROM documents)
+          ORDER BY doc_id"""
+    },
+
+    "q_fingerprint" ->
+      s"""SELECT doc_id,
+            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+          FROM documents ORDER BY doc_id""",
+
+    "q_dedup_exact" ->
+      s"""SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+            CAST(min(doc_id) AS BIGINT) AS canonical_id,
+            count(*) AS group_size
+          FROM documents GROUP BY 1 ORDER BY fp""",
+
+    "q_simhash" -> {
+      val sums = (0 until 32).map(i =>
+        s"SUM(CASE WHEN (th >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s_$i")
+        .mkString(", ")
+      val bits = (0 until 32).map(i =>
+        s"(CASE WHEN s_$i >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH toks AS (
+            SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
+            FROM documents),
+          h AS (SELECT doc_id, ${strHashSql("tok")} AS th FROM toks),
+          b AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+          SELECT doc_id, ($bits) AS simhash FROM b ORDER BY doc_id"""
+    },
+
+    "q_minhash_pairs" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          sh AS (SELECT doc_id, $shinglesSql AS sh FROM tk),
+          ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+          hs AS (SELECT doc_id, (${strHashSql("s")} % $P) AS h FROM ex),
+          sig AS (
+            SELECT doc_id, j,
+              min((((j * 2654435761) % $P + 1) * h + ((j * 13 + 7) % $P)) % $P)
+                AS mh
+            FROM hs CROSS JOIN (SELECT unnest(range(16)) AS j) jj
+            GROUP BY doc_id, j),
+          bk AS (
+            SELECT doc_id,
+              concat(CAST(j // 4 AS VARCHAR), ':',
+                     string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j)) AS band
+            FROM sig GROUP BY doc_id, j // 4)
+          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          FROM bk l JOIN bk r ON l.band = r.band AND l.doc_id < r.doc_id
+          ORDER BY a, b""",
+
+    "q_jaccard_pairs" ->
+      s"""WITH tk AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+          sh AS (SELECT doc_id, source, $shinglesSql AS sh FROM tk)
+          SELECT l.doc_id AS a, r.doc_id AS b,
+            CAST(len(list_intersect(l.sh, r.sh)) AS INT) AS inter_n,
+            CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS INT) AS union_n
+          FROM sh l JOIN sh r
+            ON l.source = r.source AND l.doc_id < r.doc_id
+          ORDER BY a, b""",
+
+    "q_ann_bruteforce" ->
+      s"""WITH q AS (SELECT $qvSql AS qv FROM embeddings WHERE vec_id = 0),
+          v AS (SELECT vec_id, $qvSql AS v FROM embeddings)
+          SELECT vec_id AS id, ${cosSql("v", "qv")} AS cosine
+          FROM v CROSS JOIN q
+          ORDER BY cosine DESC, id ASC LIMIT 10""",
+
+    "q_ann_lsh_buckets" ->
+      s"""WITH v AS (SELECT vec_id, $qvSql AS v FROM embeddings)
+          SELECT vec_id, CAST(${bucketSql("v")} AS BIGINT) AS bucket FROM v
+          ORDER BY vec_id""",
+
+    "q_ann_lsh_topk" ->
+      s"""WITH v0 AS (SELECT vec_id, $qvSql AS v FROM embeddings),
+          q AS (SELECT v AS qv, ${bucketSql("v")} AS qb
+                FROM v0 WHERE vec_id = 0),
+          v AS (SELECT vec_id, v, ${bucketSql("v")} AS b FROM v0)
+          SELECT vec_id AS id, ${cosSql("v", "qv")} AS cosine
+          FROM v JOIN q ON v.b = q.qb
+          ORDER BY cosine DESC, id ASC LIMIT 10""",
+
+    "q_ivf_assign" ->
+      s"""WITH v AS (SELECT vec_id, $qvSql AS v FROM embeddings),
+          c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id % 50 = 0),
+          sc AS (SELECT v.vec_id AS id, c.cid,
+                   ${cosSql("v.v", "c.cv")} AS cos,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY ${cosSql("v.v", "c.cv")} DESC, c.cid ASC) AS rk
+                 FROM v CROSS JOIN c)
+          SELECT id, cid FROM sc WHERE rk = 1 ORDER BY id""",
+
+    "q_embed_neardup" ->
+      s"""WITH v0 AS (SELECT vec_id, $qvSql AS v FROM embeddings),
+          v AS (SELECT vec_id, v, ${bucketSql("v")} AS b FROM v0)
+          SELECT l.vec_id AS a, r.vec_id AS b
+          FROM v l JOIN v r ON l.b = r.b AND l.vec_id < r.vec_id
+          WHERE ${dotSql("l.v", "r.v")} > 0
+            AND ${dotSql("l.v", "r.v")} * ${dotSql("l.v", "r.v")} * 25 >=
+                ${dotSql("l.v", "l.v")} * ${dotSql("r.v", "r.v")} * 1
+          ORDER BY a, b""",
+
+    "q_media_meta" ->
+      """SELECT doc_id AS media_id,
+           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+             WHEN 2 THEN 'wav' ELSE 'mp4' END AS format,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
+           CAST(16 + (CAST(octet_length(encode(text)) AS BIGINT) * 7 + 3) % 64
+             AS INT) AS height
+         FROM documents ORDER BY media_id""",
+
+    "q_media_features" ->
+      """SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
+           CAST(16 + (CAST(octet_length(encode(text)) AS BIGINT) * 7 + 3) % 64
+             AS INT) AS height,
+           CAST((CAST(octet_length(encode(text)) AS BIGINT) * 31 + 0) % 997
+             AS BIGINT) AS f0,
+           CAST((CAST(octet_length(encode(text)) AS BIGINT) * 31 + 7) % 997
+             AS BIGINT) AS f7
+         FROM documents ORDER BY media_id"""
+  )
+}

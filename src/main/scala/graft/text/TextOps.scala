@@ -1,0 +1,98 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, fingerprinting, shingling.
+  *
+  * All pure Column expressions (codegen'd, no UDFs) built from portable
+  * primitives so each has an exact DuckDB-SQL oracle:
+  *  - token counts via regexp split + empty-filter
+  *  - occurrence counts via length-difference (replace-based)
+  *  - hashes via md5 hex -> integer (conv)
+  *  - ratios via floor(1000 * a / b) (integer in, IEEE-exact out)
+  */
+object TextOps {
+
+  /** Mersenne prime 2^31-1; all modular hash arithmetic stays < 2^62. */
+  val P: Long = 2147483647L
+
+  /** Non-empty whitespace tokens of lowercased text. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Portable 60-bit string hash: first 15 hex chars of md5 as a long. */
+  def strHash(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Count non-overlapping occurrences of `needle` (length-difference
+    * trick — exact same semantics in any SQL engine).
+    */
+  def countOccurrences(text: Column, needle: String): Column =
+    ((length(text) - length(replace(text, lit(needle), lit("")))) /
+      needle.length).cast("long")
+
+  /** Language ID over a fixed stopword table: score(lang) = number of
+    * marker-word occurrences (space-padded to whole-word match); predicted
+    * lang = argmax with ties broken by the fixed language order below.
+    * An n-gram-free heuristic chosen for exact SQL portability.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "es" -> Seq(" el ", " la ", " de "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " et ", " les "),
+    "zh" -> Seq(" zh ", " de0 ", " shi ")
+  )
+
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    markers.map(m => countOccurrences(padded, m))
+      .reduce(_ + _)
+  }
+
+  def langId(text: Column): Column = {
+    // argmax with first-listed-wins tie-break (strict > against the
+    // accumulated best, folding in listed order)
+    val scored = langMarkers.map { case (l, ms) => (l, langScore(text, ms)) }
+    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bestLang, bestScore), (l, s)) =>
+        (when(s > bestScore, lit(l)).otherwise(bestLang),
+          when(s > bestScore, s).otherwise(bestScore))
+    }._1
+  }
+
+  /** Quality score in [0, ~3000]: 1000*alpha_ratio + 1000*stopword_ratio
+    * + 1000*uniq_token_ratio, floored to an exact integer. Higher = more
+    * natural-language-like. Every term is floor(1000*int/int) — bit-exact
+    * in any engine.
+    */
+  def qualityScore(text: Column): Column = {
+    val t = tokens(text)
+    val nTok = size(t).cast("long")
+    val nUniq = size(array_distinct(t)).cast("long")
+    val alpha = (length(regexp_replace(lower(text), "[^a-z]", "")).cast("long"))
+    val nChars = length(text).cast("long")
+    val stops = langScore(text, Seq(" the ", " and ", " of ", " a ", " in "))
+    val safe = (d: Column, n: Column) =>
+      when(n > 0, floor(d * 1000.0 / n).cast("long")).otherwise(lit(0L))
+    safe(alpha, nChars) + safe(stops, nTok) + safe(nUniq, nTok)
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Word n-gram shingles (distinct), the MinHash/Jaccard input unit. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    array_distinct(
+      when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+        .otherwise(array(concat_ws(" ", t))))
+  }
+}
