@@ -1,24 +1,85 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.corpus.Corpus
+import graft.engine.CrawlEngine
+import graft.model.{CrawlConfig, Seed}
+import graft.router.{Handler, Router}
+
+/** Benchmark main. Emits ONE JSON line:
+  * {"metric":"urls_scheduled_per_sec","value":N,"unit":"urls/sec",
+  *  "queries":{<name>:sec,...},"sf":"<dir>", ...}
+  *
+  * Two parts:
+  *  1. headline operator queries over SPARK_GRAFT_SF_DIR (per-query secs)
+  *  2. crawl throughput: a synthetic BENCH_DOCS-document corpus (written
+  *     to parquet first, so fetch reads a real table) crawled for
+  *     BENCH_ROUNDS rounds with dedup + budgets; the headline value is
+  *     URLs scheduled per second (BASELINE.json metric). Run this main at
+  *     two parallelism levels (SPARK_GRAFT_CPUS=8 / 32) on the SAME input
+  *     for the N->4N scaling-efficiency evidence (see BENCH/BASELINE.md).
+  */
 object Bench {
+
+  def crawlBench(spark: SparkSession, nDocs: Long, rounds: Int,
+      partitions: Int): (Long, Double, Double) = {
+    import spark.implicits._
+    val spec = Corpus.Spec(nDocs = nDocs, nHosts = 1000, maxLinks = 10,
+      hotHostPct = 20)
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-bench-corpus").toString
+    // corpus write is setup, not timed
+    Corpus.docs(spark, spec)
+      .repartition(partitions)
+      .write.mode("overwrite").parquet(corpusDir)
+    val docs = spark.read.parquet(corpusDir)
+    val seeds = (0 until 1000).map(j =>
+      Seed(Corpus.url(j.toLong * 97 % nDocs, spec), "page", j))
+    val robots = Corpus.robotsLocal(spec, hostBudget = Int.MaxValue)
+    val cfg = CrawlConfig(maxRounds = rounds, maxDepth = rounds + 1,
+      defaultHostBudget = Int.MaxValue, frontierPartitions = partitions,
+      bloomShards = 8, bloomExpectedItems = 2000000L, bloomFpp = 0.03)
+    val work = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val router = Router(Map("page" -> Handler.linkFollower()),
+      fallback = Handler.linkFollower())
+    val t0 = System.nanoTime()
+    val r = CrawlEngine.run(spark, docs, seeds, robots.toDS(), router, cfg, work)
+    val secs = (System.nanoTime() - t0) / 1e9
+    (r.totalScheduled, secs, r.totalScheduled / secs)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1000000").toLong
+    val benchRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "6").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val (scheduled, crawlSecs, rate) =
+      crawlBench(spark, benchDocs, benchRounds, cpus.toInt)
+
+    def f3(d: Double): String = f"$d%.3f"
+    val qs = (results :+ ("crawl_bench" -> crawlSecs))
+      .map { case (k, v) => s""""$k":${f3(v)}""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + crawlSecs
+    println(
+      s"""{"metric":"urls_scheduled_per_sec","value":${f3(rate)},""" +
+        s""""unit":"urls/sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""total_sec":${f3(total)},"crawl_urls_scheduled":$scheduled,""" +
+        s""""crawl_sec":${f3(crawlSecs)},"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -34,17 +34,25 @@ object TextDedup {
   def minhashOf(shingle: Column, j: Int): Column =
     (lit(aCoef(j)) * (TextOps.strHash(shingle) % P) + lit(bCoef(j))) % P
 
-  /** k-element MinHash signature as one array column (no shuffle). */
-  def signature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(shingles,
-        s => (element_at(
-          // a/b coefficient lookup tables baked as array literals so the
-          // lambda var j stays a plain index (codegen-friendly)
-          array((0 until k).map(x => lit(aCoef(x))): _*), j + 1)
-          * (TextOps.strHash(s) % P)
-          + element_at(array((0 until k).map(x => lit(bCoef(x))): _*), j + 1))
-          % P)))
+  /** k-element MinHash signature as one array column (no shuffle).
+    *
+    * Single-pass shape chosen from profiling: hash each shingle ONCE
+    * (inner transform), expand to its k permuted hashes against
+    * constant-literal coefficient arrays (`typedlit` — a single Literal,
+    * not a per-row CreateArray), then fold an elementwise-min. Naive
+    * per-j recomputation was ~10x slower (md5 re-evaluated k times and
+    * two 16-element arrays allocated per shingle per j).
+    */
+  def signature(shingles: Column, k: Int): Column = {
+    val aArr = typedlit((0 until k).map(aCoef))
+    val bArr = typedlit((0 until k).map(bCoef))
+    val hs = transform(shingles, s => TextOps.strHash(s) % P)
+    val perShingle = transform(hs, h =>
+      transform(sequence(lit(0), lit(k - 1)),
+        j => (element_at(aArr, j + 1) * h + element_at(bArr, j + 1)) % P))
+    aggregate(perShingle, typedlit(Seq.fill(k)(P)),
+      (acc, v) => zip_with(acc, v, (x, y) => least(x, y)))
+  }
 
   /** LSH band keys: bands of `rowsPerBand` signature slots; key =
     * "<band>:<v1>_<v2>_..." — docs sharing any band key are candidates.
@@ -81,15 +89,19 @@ object TextDedup {
     * tokens of (+1 / -1 by token-hash bit i) is >= 0.
     */
   def simhash(text: Column): Column = {
+    val masks = typedlit((0 until 32).map(i => 1L << i))
     val toks = array_distinct(TextOps.tokens(text))
     val hashes = transform(toks, t => TextOps.strHash(t))
-    val bits = (0 until 32).map { i =>
-      val bitSum = aggregate(hashes, lit(0L),
-        (acc, h) => acc +
-          when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(bitSum >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    // one pass: per token expand its +-1 bit vector, fold elementwise sums
+    val perTok = transform(hashes, h =>
+      transform(sequence(lit(0), lit(31)),
+        i => when(h.bitwiseAND(element_at(masks, i + 1)) =!= 0, 1L)
+          .otherwise(-1L)))
+    val sums = aggregate(perTok, typedlit(Seq.fill(32)(0L)),
+      (acc, v) => zip_with(acc, v, (x, y) => x + y))
+    aggregate(
+      zip_with(sums, masks, (s, m) => when(s >= 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** Exact-duplicate groups by normalized fingerprint: keep the lowest id

@@ -95,7 +95,8 @@ object CrawlEngine {
     * Two-level: within-parent rank (parallel window) + per-parent offsets
     * (prefix sum over the tiny per-parent count table, broadcast back).
     */
-  def assignSeq(scheduled: DataFrame, nextSeq: Long): DataFrame = {
+  def assignSeq(scheduled: DataFrame, nextSeq: Long,
+      broadcastOffsets: Boolean = true): DataFrame = {
     val wIn = Window.partitionBy(col("parentSeq")).orderBy(col("emissionIdx"))
     val ranked = scheduled.withColumn("_rk", row_number().over(wIn))
     val offsets = ranked.groupBy(col("parentSeq").as("_ps"))
@@ -107,8 +108,11 @@ object CrawlEngine {
               .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .drop("_cnt")
+    // offsets has one row per parent — usually tiny vs children, so
+    // broadcast; above ~10^6 parents fall back to a shuffled join
+    val offSide = if (broadcastOffsets) broadcast(offsets) else offsets
     ranked
-      .join(broadcast(offsets), ranked("parentSeq") === offsets("_ps"))
+      .join(offSide, ranked("parentSeq") === offsets("_ps"))
       .withColumn("seq", lit(nextSeq) + col("_off") + col("_rk") - 1)
       .drop("_ps", "_off", "_rk")
   }
@@ -195,7 +199,8 @@ object CrawlEngine {
 
       // 4. depth bound + seq assignment
       val bounded = underBudget.filter(col("depth") <= cfg.maxDepth)
-      val scheduled = assignSeq(bounded, nextSeq)
+      val scheduled = assignSeq(bounded, nextSeq,
+        broadcastOffsets = frontierCount < 1000000L)
       val schedStat = TableIO.writeRound(
         scheduled, workDir, "scheduled", round, "urlHash",
         cfg.frontierPartitions)

@@ -56,10 +56,13 @@ object Ann {
   def hyper(j: Int, dim: Int): Seq[Long] =
     (0 until dim).map(i => ((i.toLong * 31 + j.toLong * 17) % 7) - 3)
 
-  /** 8-bit LSH bucket id from sign bits of 8 hyperplane dots. */
+  /** 8-bit LSH bucket id from sign bits of 8 hyperplane dots.
+    * Hyperplanes are `typedlit` constants (one Literal each, no per-row
+    * array construction).
+    */
   def lshBucket(vQ: Column, dim: Int, nBits: Int = 8): Column = {
     val bits = (0 until nBits).map { j =>
-      val w = array(hyper(j, dim).map(lit): _*)
+      val w = typedlit(hyper(j, dim))
       when(dotQ(vQ, w) >= 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
