@@ -259,6 +259,19 @@ object CrawlEngine {
           when(col("status") === 200, col("outcome"))
             .otherwise(FlowControl.mk(lit("hold"), lit("owner"), lit(0L))))
 
+      // metrics in one pass over the persisted fetch (also provides the
+      // row counts for the sink writes below)
+      val aggRow = routed.agg(
+        sum(when(FlowControl.isSuccess(col("outcome.outcome")), 1L)
+          .otherwise(0L)).as("s"),
+        sum(when(FlowControl.isSuccess(col("outcome.outcome")), 0L)
+          .otherwise(1L)).as("f"),
+        sum(when(col("status") === 200, 1L).otherwise(0L)).as("ok"))
+        .collect()(0)
+      val succ = if (aggRow.isNullAt(0)) 0L else aggRow.getLong(0)
+      val fail = if (aggRow.isNullAt(1)) 0L else aggRow.getLong(1)
+      val n200 = if (aggRow.isNullAt(2)) 0L else aggRow.getLong(2)
+
       // 7. trace + records sink (S4: typed data sink -> parquet append)
       val trace = routed.select(
         col("seq"), col("url"), col("canonical"), col("urlHash"),
@@ -267,8 +280,8 @@ object CrawlEngine {
         col("status"), col("outcome.outcome").as("outcome"),
         lit(round).as("round"),
         size(filter(col("spans"), s => s("kind") === "link")).as("n_links"))
-      TableIO.writeRound(trace, workDir, "trace", round, "urlHash",
-        cfg.frontierPartitions)
+      TableIO.writeRoundLite(trace, workDir, "trace", round, "urlHash",
+        cfg.frontierPartitions, scheduledCount)
       val records = routed.filter(col("status") === 200).select(
         col("canonical").as("url"),
         get(filter(col("spans"), s => s("kind") === "text"), lit(0))
@@ -278,8 +291,8 @@ object CrawlEngine {
         size(filter(col("spans"), s => s("kind") === "media")).as("nMedia"),
         lit(round).as("scrapedRound"),
         col("urlHash"))
-      TableIO.writeRound(records, workDir, "records", round, "urlHash",
-        cfg.frontierPartitions)
+      TableIO.writeRoundLite(records, workDir, "records", round, "urlHash",
+        cfg.frontierPartitions, n200)
 
       // 8. defer ledger update from outcomes (apply_defer semantics:
       //    notBefore[key] = max(existing, now) + d, in round units)
@@ -333,18 +346,20 @@ object CrawlEngine {
         .withColumn("host", Canon.host(col("canonical")))
         .select(candCols.map(col).toIndexedSeq: _*)
 
-      // 10. next frontier + seen, checkpointed (lineage cut + resume point)
+      // 10. next frontier (rewritten: it mutates) + seen DELTA (append-only
+      //     Iceberg-style: only this round's new hashes are written, the
+      //     read path unions all round deltas — avoids the O(total) seen
+      //     rewrite per round that would make long crawls quadratic)
       val nextFrontier = children
         .unionByName(overBudget.select(candCols.map(col).toIndexedSeq: _*))
         .unionByName(deferred.select(candCols.map(col).toIndexedSeq: _*))
       val newSeen = scheduledBack.select(
         col("urlHash"), col("canonical"),
         col("seq").as("firstSeq"), lit(round).as("round"))
-      val nextSeen = seen.unionByName(newSeen)
 
       val frontStat = TableIO.writeRound(nextFrontier, workDir, "frontier",
         round, "urlHash", cfg.frontierPartitions)
-      val seenStat = TableIO.writeRound(nextSeen, workDir, "seen", round,
+      val seenStat = TableIO.writeRound(newSeen, workDir, "seen", round,
         "urlHash", cfg.frontierPartitions)
 
       // bloom ledger delta: aggregate only this round's new hashes
@@ -357,18 +372,9 @@ object CrawlEngine {
         bloomLedger = Seen.mergeBlooms(bloomLedger, delta)
       }
 
-      // 11. metrics + manifest commit
-      val (succ, fail) = {
-        val r = routed.agg(
-          sum(when(FlowControl.isSuccess(col("outcome.outcome")), 1L)
-            .otherwise(0L)).as("s"),
-          sum(when(FlowControl.isSuccess(col("outcome.outcome")), 0L)
-            .otherwise(1L)).as("f")).collect()(0)
-        (if (r.isNullAt(0)) 0L else r.getLong(0),
-          if (r.isNullAt(1)) 0L else r.getLong(1))
-      }
+      // 11. manifest commit
       val m = RoundMetrics(round, frontierCount, scheduledCount,
-        frontStat.rows, seenStat.rows - (nextSeq /* == prior seen size */),
+        frontStat.rows, seenStat.rows,
         succ, fail, (System.nanoTime() - t0) / 1000000L)
       TableIO.writeManifest(workDir, round,
         TableIO.manifestJson(round, Seq(schedStat, frontStat, seenStat), m,
@@ -378,7 +384,7 @@ object CrawlEngine {
       // 12. advance (read back from checkpoint: plan restarts at scan)
       roundCaches.foreach(_.unpersist(blocking = false))
       frontier = TableIO.readRound(spark, workDir, "frontier", round)
-      seen = TableIO.readRound(spark, workDir, "seen", round)
+      seen = TableIO.readDeltas(spark, workDir, "seen", round)
       nextSeq += scheduledCount
       frontierCount = frontStat.rows
       round += 1
@@ -402,7 +408,7 @@ object CrawlEngine {
     val last = TableIO.latestCompletedRound(workDir)
     if (last < 0) return run(spark, docs, seeds, robots, router, cfg, workDir)
     val frontier = TableIO.readRound(spark, workDir, "frontier", last)
-    val seen = TableIO.readRound(spark, workDir, "seen", last)
+    val seen = TableIO.readDeltas(spark, workDir, "seen", last)
     val nextSeq = seen.count()
     run(spark, docs, seeds, robots, router, cfg, workDir,
       startRound = last + 1, resumeState = Some((frontier, seen, nextSeq)))

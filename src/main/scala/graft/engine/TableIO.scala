@@ -53,11 +53,41 @@ object TableIO {
     TableStat(name, stats.map(_.rows).sum, stats)
   }
 
+  /** Write without the stats read-back (for sink tables whose row counts
+    * are already known from the round's aggregates).
+    */
+  def writeRoundLite(
+      df: DataFrame,
+      dir: String,
+      name: String,
+      round: Int,
+      hashCol: String,
+      buckets: Int,
+      rows: Long
+  ): TableStat = {
+    val path = s"$dir/$name/round=$round"
+    df.withColumn("_bucket",
+        pmod(col(hashCol), lit(buckets.toLong)).cast("int"))
+      .repartition(buckets, col("_bucket"))
+      .write.mode("overwrite").parquet(path)
+    TableStat(name, rows, Seq.empty)
+  }
+
   /** Read a round's table back (lineage cut: the plan restarts from the
     * parquet scan — the known fix for iterative-Dataset plan growth).
     */
   def readRound(spark: SparkSession, dir: String, name: String, round: Int): DataFrame =
     spark.read.parquet(s"$dir/$name/round=$round").drop("_bucket")
+
+  /** Read the union of ALL rounds <= `round` of an append-only (delta)
+    * table — the Iceberg-style accumulating read path (the `seen` store
+    * appends one delta per round instead of rewriting O(n) rows).
+    */
+  def readDeltas(spark: SparkSession, dir: String, name: String, round: Int): DataFrame = {
+    val paths = (0 to round).map(r => s"$dir/$name/round=$r")
+      .filter(p => Files.isDirectory(Paths.get(p)))
+    spark.read.parquet(paths: _*).drop("_bucket")
+  }
 
   // ---- manifest ----
 

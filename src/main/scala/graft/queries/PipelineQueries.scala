@@ -124,6 +124,16 @@ object PipelineQueries {
         thrNum = 1, thrDen = 5)
         .orderBy("a", "b")),
 
+    "q_events_window" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(
+          date_format(date_trunc("minute", col("ts")), "yyyy-MM-dd HH:mm")
+            .as("minute"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000).cast("long")).as("v_milli"))
+        .orderBy("minute", "event_type")),
+
     "q_media_meta" -> ((s, dir) =>
       Media.mediaMeta(
         Media.mediaTable(documents(s, dir), "doc_id", "text"))
@@ -284,6 +294,12 @@ object PipelineQueries {
             AND ${dotSql("l.v", "r.v")} * ${dotSql("l.v", "r.v")} * 25 >=
                 ${dotSql("l.v", "l.v")} * ${dotSql("r.v", "r.v")} * 1
           ORDER BY a, b""",
+
+    "q_events_window" ->
+      """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS minute,
+           event_type, count(*) AS n,
+           CAST(sum(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS v_milli
+         FROM events GROUP BY 1, 2 ORDER BY minute, event_type""",
 
     "q_media_meta" ->
       """SELECT doc_id AS media_id,

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.TextDedup
+import graft.multimodal.Media
+import graft.sim.Ann
+import graft.text.TextOps
+
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+  private lazy val embeds = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("tokens/fingerprint: whitespace- and case-insensitive") {
+    val df = Seq(("A  Fast\tFox ", 1), ("a fast fox", 2)).toDF("text", "id")
+    val fps = df.select(TextOps.fingerprint($"text")).as[String].collect()
+    assert(fps(0) == fps(1))
+    val counts = df.select(TextOps.tokenCount($"text")).as[Int].collect()
+    assert(counts.toSeq == Seq(3, 3))
+  }
+
+  test("langId picks the marker-dominant language") {
+    val cases = Seq(
+      "x the cat and the dog of y" -> "en",
+      "y el gato la casa de z" -> "es",
+      "der hund und die katze" -> "de",
+      "le chat et les chiens" -> "fr")
+    val got = cases.map(_._1).toDF("text")
+      .select(TextOps.langId($"text")).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("exact dedup groups planted duplicates") {
+    val planted = docs.limit(10).select($"doc_id", $"text")
+      .unionByName(docs.limit(3).select(
+        ($"doc_id" + 1000).as("doc_id"), upper($"text").as("text")))
+    val groups = TextDedup.exactDupGroups(planted, "doc_id", "text")
+    assert(groups.count() == 10) // 3 dups fold into their originals
+    assert(groups.filter($"group_size" === 2).count() == 3)
+  }
+
+  test("minhash LSH pairs planted exact duplicates (identical signatures)") {
+    val planted = docs.limit(20).select($"doc_id", $"text")
+      .unionByName(docs.limit(5).select(
+        ($"doc_id" + 1000).as("doc_id"), $"text"))
+    val pairs = TextDedup.minhashPairs(planted, "doc_id", "text", 3, 16, 4)
+      .as[(Long, Long)].collect().toSet
+    (0 until 5).foreach { i =>
+      assert(pairs.contains((i.toLong, i + 1000L)), s"missing dup pair $i")
+    }
+  }
+
+  test("jaccard: identical docs have inter == union; distinct-shingle sanity") {
+    val planted = Seq((1L, "a", "w1 w2 w3 w4 w5"), (2L, "a", "w1 w2 w3 w4 w5"),
+      (3L, "a", "z1 z2 z3 z4 z5")).toDF("doc_id", "source", "text")
+    val rows = TextDedup.jaccardPairs(planted, "doc_id", "text", "source", 3)
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(rows.contains((1L, 2L, 3, 3)))
+    assert(rows.exists { case (a, b, i, _) => a == 1 && b == 3 && i == 0 })
+  }
+
+  test("simhash: identical text -> identical hash; hamming via bit_count") {
+    val df = Seq(("the quick brown fox", 1), ("the quick brown fox", 2),
+      ("utterly different words entirely", 3)).toDF("text", "id")
+    val hs = df.select(TextDedup.simhash($"text")).as[Long].collect()
+    assert(hs(0) == hs(1))
+    val dist = df.limit(1)
+      .select(bit_count(lit(hs(0)).bitwiseXOR(lit(hs(2))))).as[Int].head()
+    assert(dist > 0)
+  }
+
+  test("brute-force ANN: query's own vector is rank-1 with cosine 1.0") {
+    val q = embeds.filter($"vec_id" === 7)
+      .select(Ann.quantize($"embedding").as("qvec"))
+    val top = Ann.bruteForceTopK(embeds, "vec_id", "embedding", q, 3)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 == 7L)
+    assert(math.abs(top.head._2 - 1.0) < 1e-12)
+  }
+
+  test("LSH top-k is a subset of the brute-force ranking prefix semantics") {
+    val q = embeds.filter($"vec_id" === 7)
+      .select(Ann.quantize($"embedding").as("qvec"))
+    val brute = Ann.bruteForceTopK(embeds, "vec_id", "embedding", q, 500)
+      .as[(Long, Double)].collect().toMap
+    val lsh = Ann.lshTopK(embeds, "vec_id", "embedding", q, 64, 10)
+      .drop("bucket").as[(Long, Double)].collect()
+    assert(lsh.nonEmpty && lsh.head._1 == 7L) // own bucket contains self
+    lsh.foreach { case (id, cos) =>
+      assert(math.abs(brute(id) - cos) < 1e-12) // same exact scores
+    }
+  }
+
+  test("IVF: centroid vectors assign to themselves") {
+    val assign = Ann.ivfAssign(embeds, "vec_id", "embedding", stride = 50)
+      .as[(Long, Long)].collect().toMap
+    assign.keys.filter(_ % 50 == 0).foreach { cid =>
+      assert(assign(cid) == cid, s"centroid $cid not self-assigned")
+    }
+    assert(assign.size == embeds.count())
+  }
+
+  test("media decode plumbing: row-preserving, deterministic, dim-correct") {
+    val media = Media.mediaTable(docs, "doc_id", "text")
+    val f1 = Media.extractFeatures(media, new Media.StubDecoder(8))
+    val f2 = Media.extractFeatures(media, new Media.StubDecoder(8))
+    assert(f1.count() == docs.count())
+    val a = f1.orderBy("media_id").as[Media.MediaFeatures].collect()
+    val b = f2.orderBy("media_id").as[Media.MediaFeatures].collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall(_.feature.size == 8))
+    // meta expression path agrees with the decoder's stub geometry
+    val meta = Media.mediaMeta(media).orderBy("media_id")
+      .as[(Long, String, Long, Int, Int)].collect()
+    a.zip(meta).foreach { case (f, (_, _, len, w, h)) =>
+      assert(f.byte_len == len && f.width == w && f.height == h)
+    }
+  }
+}
