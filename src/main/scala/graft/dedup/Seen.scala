@@ -71,6 +71,29 @@ object Seen {
       .toMap
   }
 
+  /** Probe a FAMILY of per-round shard maps (the engine appends one
+    * delta-sized bloom map per round instead of merging into one — merging
+    * requires identical capacities, which forces oversized fixed buffers
+    * whose partial-aggregate shuffle cost does not scale).
+    * Returns (definitelyNew, maybeSeen).
+    */
+  def bloomPrefilterMulti(
+      candidates: DataFrame,
+      family: Seq[Map[Int, Array[Byte]]],
+      nShards: Int
+  ): (DataFrame, DataFrame) = {
+    val spark = candidates.sparkSession
+    val bc = spark.sparkContext.broadcast(family)
+    val mightContain = udf { (hash: Long) =>
+      val shard = (((hash % nShards) + nShards) % nShards).toInt
+      bc.value.exists(_.get(shard).exists(bytes =>
+        Filters.deserialize(bytes).mightContainLong(hash)))
+    }
+    val tagged = candidates.withColumn("_maybe_seen", mightContain(col("urlHash")))
+    (tagged.filter(!col("_maybe_seen")).drop("_maybe_seen"),
+      tagged.filter(col("_maybe_seen")).drop("_maybe_seen"))
+  }
+
   /** Bloom pre-filter: keep candidates that are definitely-new in their
     * shard's bloom OR that hit it (maybe-seen -> fall through to the exact
     * join). Implemented as a deserialize-once-per-partition filter over the
@@ -112,30 +135,6 @@ object Seen {
       .drop("_rk")
   }
 
-  /** Merge two shard->bloom maps (driver-side incremental maintenance:
-    * each round only the NEW hashes are aggregated into delta blooms,
-    * then merged into the running ledger).
-    */
-  def mergeBlooms(
-      base: Map[Int, Array[Byte]],
-      delta: Map[Int, Array[Byte]]
-  ): Map[Int, Array[Byte]] = {
-    val keys = base.keySet ++ delta.keySet
-    keys.map { k =>
-      (base.get(k), delta.get(k)) match {
-        case (Some(b), Some(d)) =>
-          val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))
-          bf.mergeInPlace(
-            BloomFilter.readFrom(new java.io.ByteArrayInputStream(d)))
-          val bos = new java.io.ByteArrayOutputStream()
-          bf.writeTo(bos)
-          k -> bos.toByteArray
-        case (Some(b), None) => k -> b
-        case (None, Some(d)) => k -> d
-        case _ => throw new IllegalStateException
-      }
-    }.toMap
-  }
 }
 
 /** Executor-side bloom deserialization cache: the broadcast ships bytes

@@ -73,11 +73,18 @@ object TextDedup {
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int, rowsPerBand: Int): DataFrame = {
-    val withBands = docs.select(
+    // materialize signatures ONCE: the self-join would otherwise evaluate
+    // the whole shingle->hash->min pipeline on both sides (and bandKeys
+    // references the signature once per band) — profiled ~4x. Repartition
+    // first: signature computation is CPU-bound, and a small parquet input
+    // arrives as a single partition (one task) otherwise.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val withSig = docs.repartition(par).select(
       col(idCol).as("id"),
-      explode(bandKeys(
-        signature(TextOps.shingles(col(textCol), shingleN), k),
-        k, rowsPerBand)).as("band"))
+      signature(TextOps.shingles(col(textCol), shingleN), k).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withBands = withSig.select(col("id"),
+      explode(bandKeys(col("sig"), k, rowsPerBand)).as("band"))
     val l = withBands.as("l")
     val r = withBands.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.id") < col("r.id"))

@@ -145,15 +145,15 @@ object CrawlEngine {
     // tag -> earliest eligible round. "__every__" mirrors the reference
     // deferring Tag::Fallback on TagQuery::Every.
     var deferLedger = Map.empty[String, Int]
-    // incremental per-shard bloom ledger over all seen urlHashes: each
-    // round only the delta (this round's scheduled hashes) is aggregated
-    // distributively, then merged driver-side and broadcast next round.
-    var bloomLedger = Map.empty[Int, Array[Byte]]
-    // on resume, rebuild the bloom ledger from the checkpointed seen table
+    // bloom ledger = FAMILY of per-round shard maps, each sized to its
+    // round's delta (no merge, no fixed oversized buffers — keeps the
+    // partial-aggregate shuffle proportional to actual new URLs).
+    var bloomLedger = Vector.empty[Map[Int, Array[Byte]]]
+    // on resume, rebuild one family member from the checkpointed seen table
     if (resumeState.isDefined && cfg.dedup && cfg.useBloomPrefilter &&
         nextSeq > 0) {
-      bloomLedger = Seen.buildShardedBlooms(seen, cfg.bloomShards,
-        cfg.bloomExpectedItems, cfg.bloomFpp)
+      bloomLedger = Vector(Seen.buildShardedBlooms(seen, cfg.bloomShards,
+        math.max(nextSeq / cfg.bloomShards, 1000L), cfg.bloomFpp))
     }
 
     var frontierCount = frontier.count()
@@ -184,7 +184,7 @@ object CrawlEngine {
           val notSeen =
             if (cfg.useBloomPrefilter && bloomLedger.nonEmpty) {
               val (defNew, maybe) =
-                Seen.bloomPrefilter(eligible0, bloomLedger, cfg.bloomShards)
+                Seen.bloomPrefilterMulti(eligible0, bloomLedger, cfg.bloomShards)
               defNew.unionByName(Seen.exactAntiJoin(maybe, seen))
             } else if (nextSeq == 0) eligible0 // seen is empty on round 0
             else Seen.exactAntiJoin(eligible0, seen)
@@ -362,14 +362,12 @@ object CrawlEngine {
       val seenStat = TableIO.writeRound(newSeen, workDir, "seen", round,
         "urlHash", cfg.frontierPartitions)
 
-      // bloom ledger delta: aggregate only this round's new hashes
+      // bloom ledger delta: aggregate only this round's new hashes into a
+      // delta-sized family member (probed alongside earlier rounds')
       if (cfg.dedup && cfg.useBloomPrefilter && scheduledCount > 0) {
-        // fixed sizing across rounds: BloomFilter.mergeInPlace requires
-        // identical bit-size/hash-count, so every delta uses the same
-        // expectedItems (per-shard capacity, a scale knob in CrawlConfig)
-        val delta = Seen.buildShardedBlooms(newSeen, cfg.bloomShards,
-          cfg.bloomExpectedItems, cfg.bloomFpp)
-        bloomLedger = Seen.mergeBlooms(bloomLedger, delta)
+        val perShard = math.max(scheduledCount / cfg.bloomShards, 1000L)
+        bloomLedger :+= Seen.buildShardedBlooms(newSeen, cfg.bloomShards,
+          perShard, cfg.bloomFpp)
       }
 
       // 11. manifest commit
@@ -392,6 +390,23 @@ object CrawlEngine {
 
     RunResult(round, nextSeq, metrics, workDir)
   }
+
+  /** Entry point 2 (reference Client::run_once, process/client.rs:132-134):
+    * process a single request for one round; discovered children are left
+    * queued in the frontier checkpoint, unprocessed.
+    */
+  def runOnce(
+      spark: SparkSession,
+      docs: DataFrame,
+      url: String,
+      tag: String,
+      robots: Dataset[RobotsRule],
+      router: Router,
+      cfg: CrawlConfig,
+      workDir: String
+  ): RunResult =
+    run(spark, docs, Seq(Seed(url, tag, 0)), robots, router,
+      cfg.copy(maxRounds = 1), workDir)
 
   /** Resume after the latest completed round's manifest (north rule:
     * any round is resumable from checkpoint).

@@ -136,6 +136,34 @@ class EngineSpec extends SparkTestBase {
     assert(r.totalScheduled > 0)
   }
 
+  test("runOnce: single request processed, children left queued") {
+    val cfg = CrawlConfig(maxDepth = 3, frontierPartitions = 4,
+      useBloomPrefilter = false)
+    val dir = SparkTestBase.tmpDir("once")
+    val r = CrawlEngine.runOnce(spark, docsDf, seeds.head.url, "page",
+      noRobots, router, cfg, dir)
+    assert(r.totalScheduled == 1)
+    val queued = TableIO.readRound(spark, dir, "frontier", 0).count()
+    val outDeg = docsMap(seeds.head.url).count(_.kind == "link")
+    assert(queued == outDeg)
+  }
+
+  test("router layer wraps every route (middleware, R5)") {
+    // a layer that forces outcome to skip everywhere
+    val wrapped = router.layer(h =>
+      h.copy(outcome = graft.router.FlowControl.mk(
+        lit("skip"), lit(null).cast("string"), lit(0L))))
+    val cfg = CrawlConfig(maxRounds = 2, maxDepth = 3,
+      frontierPartitions = 4, useBloomPrefilter = false)
+    val dir = SparkTestBase.tmpDir("layer")
+    val r = CrawlEngine.run(spark, docsDf, seeds, noRobots, wrapped, cfg, dir)
+    val outcomes = r.trace(spark).select($"outcome").distinct()
+      .as[String].collect().toSet
+    assert(outcomes == Set("skip"))
+    // skip counts as failure in the reference accounting
+    assert(r.metrics.forall(m => m.success == 0))
+  }
+
   test("manifest lineage: per-bucket stats present and complete") {
     val cfg = CrawlConfig(maxRounds = 2, maxDepth = 3,
       frontierPartitions = 4, bloomExpectedItems = 10000L)
