@@ -130,9 +130,11 @@ object CrawlEngine {
       cfg: CrawlConfig,
       workDir: String,
       startRound: Int = 0,
-      resumeState: Option[(DataFrame, DataFrame, Long)] = None
+      resumeState: Option[(DataFrame, DataFrame, Long)] = None,
+      fetcher: Option[Fetcher] = None
   ): RunResult = {
     import spark.implicits._
+    val theFetcher = fetcher.getOrElse(new JoinFetcher(docs))
 
     var frontier = resumeState.map(_._1)
       .getOrElse(seedCandidates(spark, seeds, cfg.lifo))
@@ -163,14 +165,23 @@ object CrawlEngine {
       // 1. defer enforcement (engine mode only; reference records but
       //    never consumes its ledger — runner.rs:224-226)
       val (eligible0, deferred) =
-        if (cfg.enforceDefer && deferLedger.nonEmpty) {
-          val blockedTags = deferLedger.filter(_._2 > round).keys.toSeq
-          val everyBlocked = blockedTags.contains("__every__")
-          if (everyBlocked) (frontier.limit(0), frontier)
-          else if (blockedTags.isEmpty) (frontier, frontier.limit(0))
-          else (frontier.filter(col("tag").isNull ||
+        if ((cfg.enforceDefer || cfg.enforceAbort) && deferLedger.nonEmpty) {
+          // killed tags (Fail + enforceAbort) are dropped outright;
+          // temporarily deferred tags are carried to the next round
+          val killedTags = deferLedger
+            .filter(_._2 == Int.MaxValue).keys.toSeq
+          val blockedTags = deferLedger
+            .filter(v => v._2 > round && v._2 != Int.MaxValue).keys.toSeq
+          val alive =
+            if (killedTags.contains("__every__")) frontier.limit(0)
+            else if (killedTags.isEmpty) frontier
+            else frontier.filter(col("tag").isNull ||
+              !col("tag").isin(killedTags: _*))
+          if (blockedTags.contains("__every__")) (alive.limit(0), alive)
+          else if (blockedTags.isEmpty) (alive, frontier.limit(0))
+          else (alive.filter(col("tag").isNull ||
                   !col("tag").isin(blockedTags: _*)),
-                frontier.filter(col("tag").isNotNull &&
+                alive.filter(col("tag").isNotNull &&
                   col("tag").isin(blockedTags: _*)))
         } else (frontier, frontier.limit(0))
 
@@ -207,48 +218,12 @@ object CrawlEngine {
       val scheduledBack = TableIO.readRound(spark, workDir, "scheduled", round)
       val scheduledCount = schedStat.rows
 
-      // 5. fetch = deterministic join against docs (S6: the reference's
-      //    reqwest backend drops bodies anyway — conversion.rs:9-10,36-37;
-      //    our corpus IS the response). docs is the 100TB side: it must be
-      //    scanned once and never shuffled. A plain left-outer join cannot
-      //    broadcast its preserved (scheduled) side, so decompose:
-      //      hits   = docs ⋈ broadcast(scheduled)   (inner, build=sched)
-      //      misses = scheduled ⟕̸ hits              (small ⋈ small)
-      //    When the round is over the broadcast threshold, fall back to a
-      //    shuffled left join (AQE re-plans if stats allow).
-      val emptySpansT =
-        "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
-      // `fetched` feeds several downstream actions (trace, records,
-      // children, metrics); persist it so docs is scanned exactly ONCE
-      // per round.
-      val roundCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
-      val fetched = (
-        if (scheduledCount > 0 && scheduledCount < 5000000L) {
-          val hits = docs.withColumnRenamed("doc_id", "_doc_id")
-            .join(broadcast(scheduledBack),
-              col("canonical") === col("_doc_id"), "inner")
-            .drop("_doc_id")
-            .withColumn("status", lit(200))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          roundCaches += hits
-          val misses = scheduledBack
-            .join(hits.select(col("urlHash").as("_hit")),
-              col("urlHash") === col("_hit"), "left_anti")
-            .withColumn("status", lit(404))
-            .withColumn("spans", lit(null).cast(emptySpansT))
-          hits.unionByName(misses.select(hits.columns.map(col).toIndexedSeq: _*))
-        } else {
-          scheduledBack
-            .join(docs.withColumnRenamed("doc_id", "_doc_id"),
-              col("canonical") === col("_doc_id"), "left")
-            .withColumn("status",
-              when(col("_doc_id").isNotNull, lit(200)).otherwise(lit(404)))
-            .withColumn("spans",
-              coalesce(col("spans"), lit(null).cast(emptySpansT)))
-            .drop("_doc_id")
-        }
-      ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      roundCaches += fetched
+      // 5. fetch via the pluggable backend (S6/S7; default JoinFetcher =
+      //    deterministic join against docs). `fetched` feeds several
+      //    downstream actions (trace, records, children, metrics); persist
+      //    it so the corpus is scanned exactly ONCE per round.
+      val fetched = theFetcher.fetch(scheduledBack, scheduledCount)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       // 6. route through handlers -> children + outcome columns
       val routed = router(fetched)
@@ -295,18 +270,25 @@ object CrawlEngine {
         cfg.frontierPartitions, n200)
 
       // 8. defer ledger update from outcomes (apply_defer semantics:
-      //    notBefore[key] = max(existing, now) + d, in round units)
-      if (cfg.enforceDefer) {
+      //    notBefore[key] = max(existing, now) + d, in round units).
+      //    Engine mode also honors Fail as a per-tag kill switch
+      //    (reference apply_abort is a documented no-op, runner.rs:308-323)
+      if (cfg.enforceDefer || cfg.enforceAbort) {
         val defers = routed
-          .filter(col("outcome.deferMs") > 0)
-          .select(col("tag"), col("outcome.deferQuery").as("q"),
+          .filter(col("outcome.deferMs") > 0 ||
+            (col("outcome.outcome") === "fail"))
+          .select(col("tag"), col("outcome.outcome").as("o"),
+            col("outcome.deferQuery").as("q"),
             col("outcome.deferMs").as("ms"))
-          .groupBy(col("tag"), col("q")).agg(max(col("ms")).as("ms"))
+          .groupBy(col("tag"), col("o"), col("q"))
+          .agg(max(col("ms")).as("ms"))
           .collect()
         defers.foreach { r =>
-          val tag = r.getString(0); val q = r.getString(1)
+          val tag = r.getString(0)
+          val isFail = r.getString(1) == "fail"
+          val q = r.getString(2)
           val dRounds = math.max(1,
-            math.ceil(r.getLong(2).toDouble / cfg.msPerRound).toInt)
+            math.ceil(r.getLong(3).toDouble / cfg.msPerRound).toInt)
           val key = q match {
             case "every" => "__every__"
             case s if s != null && s.startsWith("single:") =>
@@ -314,8 +296,12 @@ object CrawlEngine {
             case _ => tag // owner; null tag (Fallback) never matches: skip
           }
           if (key != null) {
-            val base = math.max(deferLedger.getOrElse(key, round), round)
-            deferLedger += key -> (base + dRounds)
+            if (isFail && cfg.enforceAbort)
+              deferLedger += key -> Int.MaxValue // permanent kill
+            else if (!isFail && cfg.enforceDefer) {
+              val base = math.max(deferLedger.getOrElse(key, round), round)
+              deferLedger += key -> (base + dRounds)
+            }
           }
         }
       }
@@ -380,7 +366,8 @@ object CrawlEngine {
       metrics :+= m
 
       // 12. advance (read back from checkpoint: plan restarts at scan)
-      roundCaches.foreach(_.unpersist(blocking = false))
+      fetched.unpersist(blocking = false)
+      theFetcher.endRound()
       frontier = TableIO.readRound(spark, workDir, "frontier", round)
       seen = TableIO.readDeltas(spark, workDir, "seen", round)
       nextSeq += scheduledCount

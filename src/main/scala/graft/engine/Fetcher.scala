@@ -1,0 +1,82 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pluggable fetch backend (reference: any `tower::Service<Request,
+  * Response>` can back the client — spire-rs/spire
+  * crates/spire-reqwest/src/client/backend.rs:97-132). A Fetcher turns
+  * the round's scheduled frontier rows into fetched rows carrying
+  * `status` and `spans`.
+  */
+trait Fetcher extends Serializable {
+  /** @param scheduled checkpointed scheduled rows for this round
+    * @param scheduledCount its known row count (from the round manifest)
+    * @return scheduled columns + (status: int, spans: array<span>)
+    */
+  def fetch(scheduled: DataFrame, scheduledCount: Long): DataFrame
+
+  /** Called by the engine at end-of-round; release per-round resources. */
+  def endRound(): Unit = {}
+
+  protected val emptySpansT =
+    "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+}
+
+/** Deterministic corpus fetch = join against the docs table on the
+  * canonical URL (S6 — the reference's reqwest backend drops bodies in
+  * both directions anyway: utils/conversion.rs:9-10,36-37; our corpus IS
+  * the response). docs is the 100TB side: scanned once, never shuffled.
+  * A plain left-outer join cannot broadcast its preserved (scheduled)
+  * side, so under the threshold it decomposes to
+  *   hits   = docs ⋈ broadcast(scheduled)   (inner, build = scheduled)
+  *   misses = scheduled ⟕̸ hits              (small ⋈ small)
+  */
+class JoinFetcher(docs: DataFrame, broadcastMax: Long = 5000000L)
+    extends Fetcher {
+  private val roundCaches =
+    scala.collection.mutable.ListBuffer.empty[DataFrame]
+
+  override def endRound(): Unit = {
+    roundCaches.foreach(_.unpersist(blocking = false))
+    roundCaches.clear()
+  }
+
+  def fetch(scheduled: DataFrame, scheduledCount: Long): DataFrame =
+    if (scheduledCount > 0 && scheduledCount < broadcastMax) {
+      val hits = docs.withColumnRenamed("doc_id", "_doc_id")
+        .join(broadcast(scheduled),
+          col("canonical") === col("_doc_id"), "inner")
+        .drop("_doc_id")
+        .withColumn("status", lit(200))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      roundCaches += hits
+      val misses = scheduled
+        .join(hits.select(col("urlHash").as("_hit")),
+          col("urlHash") === col("_hit"), "left_anti")
+        .withColumn("status", lit(404))
+        .withColumn("spans", lit(null).cast(emptySpansT))
+      hits.unionByName(misses.select(hits.columns.map(col).toIndexedSeq: _*))
+    } else {
+      scheduled
+        .join(docs.withColumnRenamed("doc_id", "_doc_id"),
+          col("canonical") === col("_doc_id"), "left")
+        .withColumn("status",
+          when(col("_doc_id").isNotNull, lit(200)).otherwise(lit(404)))
+        .withColumn("spans",
+          coalesce(col("spans"), lit(null).cast(emptySpansT)))
+        .drop("_doc_id")
+    }
+}
+
+/** Test double (reference Noop backend,
+  * crates/spire-core/src/backend/utils/debug.rs:59-156): every request
+  * resolves to an empty response with a fixed status.
+  */
+class NoopFetcher(succeed: Boolean = true) extends Fetcher {
+  def fetch(scheduled: DataFrame, scheduledCount: Long): DataFrame =
+    scheduled
+      .withColumn("status", lit(if (succeed) 200 else 404))
+      .withColumn("spans",
+        array().cast(emptySpansT))
+}

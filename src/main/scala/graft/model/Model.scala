@@ -157,6 +157,7 @@ case class CrawlConfig(
     lifo: Boolean = false,
     dedup: Boolean = true,
     enforceDefer: Boolean = false,
+    enforceAbort: Boolean = false,
     msPerRound: Long = 1000L,
     useBloomPrefilter: Boolean = true
 )
