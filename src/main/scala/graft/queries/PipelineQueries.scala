@@ -124,6 +124,20 @@ object PipelineQueries {
         thrNum = 1, thrDen = 5)
         .orderBy("a", "b")),
 
+    // P11 Json extractor analogue: parse the props JSON payload with
+    // from_json (typed schema), aggregate the extracted field
+    "q_events_json" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("long").as("k_sum"),
+          max(col("k")).as("k_max"))
+        .orderBy("event_type")),
+
     "q_events_window" -> ((s, dir) =>
       s.read.parquet(s"$dir/events.parquet")
         .groupBy(
@@ -294,6 +308,12 @@ object PipelineQueries {
             AND ${dotSql("l.v", "r.v")} * ${dotSql("l.v", "r.v")} * 25 >=
                 ${dotSql("l.v", "l.v")} * ${dotSql("r.v", "r.v")} * 1
           ORDER BY a, b""",
+
+    "q_events_json" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+           CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS k_max
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_events_window" ->
       """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS minute,

@@ -164,6 +164,22 @@ class EngineSpec extends SparkTestBase {
     assert(r.metrics.forall(m => m.success == 0))
   }
 
+  test("abort enforcement: Fail permanently kills the matching tag") {
+    val failing = Router(
+      Map("page" -> Handler(Handler.linkFollower().children,
+        graft.router.FlowControl.mk(lit("fail"), lit("single:page"), lit(0L)))),
+      fallback = Handler.linkFollower())
+    val cfg = CrawlConfig(maxRounds = 4, maxDepth = 4, enforceAbort = true,
+      frontierPartitions = 4, useBloomPrefilter = false)
+    val dir = SparkTestBase.tmpDir("abort")
+    val r = CrawlEngine.run(spark, docsDf, seeds, noRobots, failing, cfg, dir)
+    val pageRounds = r.trace(spark).filter($"tag" === "page")
+      .select($"round").distinct().as[Int].collect().toSeq
+    assert(pageRounds == Seq(0), s"page tag ran in rounds $pageRounds")
+    // untagged (fallback) branches keep crawling
+    assert(r.trace(spark).filter($"tag".isNull && $"round" > 0).count() > 0)
+  }
+
   test("manifest lineage: per-bucket stats present and complete") {
     val cfg = CrawlConfig(maxRounds = 2, maxDepth = 3,
       frontierPartitions = 4, bloomExpectedItems = 10000L)

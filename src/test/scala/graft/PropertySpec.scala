@@ -1,0 +1,67 @@
+package graft
+
+import org.scalacheck.Gen
+import graft.canon.Canon
+import graft.corpus.Corpus
+import graft.text.TextOps
+
+/** Property-based checks (SURVEY §5.3) via ScalaCheck generators with a
+  * fixed seed. Spark evaluation is batched: each property collects its
+  * generated cases into one DataFrame pass.
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val schemeGen = Gen.oneOf("http", "HTTP", "https", "Https")
+  private val hostGen = for {
+    a <- Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(8))
+    b <- Gen.oneOf("Test", "test", "EXAMPLE.com")
+  } yield s"$a.$b"
+  private val urlGen: Gen[String] = for {
+    sch <- schemeGen
+    host <- hostGen
+    port <- Gen.oneOf("", ":80", ":443", ":8080")
+    path <- Gen.oneOf("", "/", "/a", "/a/b/", "/p/1/")
+    query <- Gen.oneOf("", "?b=2&a=1", "?z=9&a=1&m=3")
+    frag <- Gen.oneOf("", "#x", "#frag/with/slash")
+  } yield s"$sch://$host$port$path$query$frag"
+
+  private def canonBatch(urls: Seq[String]): Seq[String] =
+    urls.toDF("url").select(Canon.canonicalize($"url")).as[String]
+      .collect().toSeq
+
+  test("canon is idempotent and strips fragments/uppercase-host (batch of 300)") {
+    val urls = Gen.listOfN(300, urlGen).sample.get
+    val once = canonBatch(urls)
+    val twice = canonBatch(once)
+    once.zip(twice).zip(urls).foreach { case ((o, t), u) =>
+      assert(o == t, s"not idempotent for $u: $o -> $t")
+      assert(o == null || !o.contains("#"), s"fragment survived: $u -> $o")
+      if (o != null) {
+        val authority = o.split("://")(1).takeWhile(c => c != '/' && c != '?')
+        assert(authority == authority.toLowerCase,
+          s"host not lowercased: $u -> $o")
+      }
+    }
+  }
+
+  test("corpus determinism: same spec -> identical docs across evaluations") {
+    val spec = Corpus.Spec(nDocs = 50, nHosts = 5)
+    assert(Corpus.docsLocal(spec) == Corpus.docsLocal(spec))
+    val a = Corpus.docs(spark, spec).collect().map(_.toString).sorted
+    val b = Corpus.docs(spark, spec).collect().map(_.toString).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("token count: invariant under extra whitespace (batch of 200)") {
+    val textGen = Gen.listOfN(6,
+      Gen.oneOf("the", "fox", "a", "b1", "z")).map(_.mkString(" "))
+    val texts = Gen.listOfN(200, textGen).sample.get
+    val padded = texts.map(_.replace(" ", "   ") + "  ")
+    val base = texts.toDF("text")
+      .select(TextOps.tokenCount($"text")).as[Int].collect().toSeq
+    val pad = padded.toDF("text")
+      .select(TextOps.tokenCount($"text")).as[Int].collect().toSeq
+    assert(base == pad)
+  }
+}
