@@ -158,6 +158,17 @@ object CrawlEngine {
         math.max(nextSeq / cfg.bloomShards, 1000L), cfg.bloomFpp))
     }
 
+    // politeness fast path: when every budget is effectively unbounded the
+    // per-host window rank is a no-op — skip the per-host shuffle+sort
+    // (the hot host would otherwise sort all its rows in one task per
+    // round for nothing). robots is tiny by construction.
+    val budgetUnbounded = cfg.defaultHostBudget == Int.MaxValue && {
+      import org.apache.spark.sql.functions.{min => fmin}
+      robots.isEmpty ||
+        robots.toDF().agg(fmin(col("hostBudget"))).head.getInt(0) >=
+          Int.MaxValue / 2
+    }
+
     var frontierCount = frontier.count()
     while (frontierCount > 0 && round < cfg.maxRounds) {
       val t0 = System.nanoTime()
@@ -206,7 +217,8 @@ object CrawlEngine {
       // 3. robots + politeness budget
       val allowed = Politeness.robotsFilter(eligible1, robots)
       val (underBudget, overBudget) =
-        Politeness.budgetRank(allowed, cfg.defaultHostBudget)
+        if (budgetUnbounded) (allowed.drop("_hostBudget"), allowed.limit(0))
+        else Politeness.budgetRank(allowed, cfg.defaultHostBudget)
 
       // 4. depth bound + seq assignment
       val bounded = underBudget.filter(col("depth") <= cfg.maxDepth)
