@@ -32,7 +32,7 @@ trait Fetcher extends Serializable {
   *   hits   = docs ⋈ broadcast(scheduled)   (inner, build = scheduled)
   *   misses = scheduled ⟕̸ hits              (small ⋈ small)
   */
-class JoinFetcher(docs: DataFrame, broadcastMax: Long = 5000000L)
+class JoinFetcher(docs: DataFrame, broadcastMax: Long = 2000000L)
     extends Fetcher {
   private val roundCaches =
     scala.collection.mutable.ListBuffer.empty[DataFrame]
@@ -58,7 +58,9 @@ class JoinFetcher(docs: DataFrame, broadcastMax: Long = 5000000L)
         .withColumn("spans", lit(null).cast(emptySpansT))
       hits.unionByName(misses.select(hits.columns.map(col).toIndexedSeq: _*))
     } else {
-      scheduled
+      // large round: shuffled join. SHUFFLE_HASH avoids sorting the big
+      // docs side (scheduled is the build side per partition).
+      scheduled.hint("SHUFFLE_HASH")
         .join(docs.withColumnRenamed("doc_id", "_doc_id"),
           col("canonical") === col("_doc_id"), "left")
         .withColumn("status",

@@ -38,6 +38,32 @@ class FlowControlSpec extends SparkTestBase {
     assert(got == cases.map(_._2))
   }
 
+  test("router: duplicate route and merge-conflict fail fast (R1/R4)") {
+    import graft.router.{Handler, Router}
+    val r1 = Router(Map.empty).route("a", Handler.continue)
+    intercept[IllegalArgumentException](r1.route("a", Handler.continue))
+    val r2 = Router(Map("a" -> Handler.continue))
+    intercept[IllegalArgumentException](r1.merge(r2))
+    val merged = r1.merge(Router(Map("b" -> Handler.continue)))
+    assert(merged.routes.keySet == Set("a", "b"))
+  }
+
+  test("router with_state analogue: handlers close over injected config (R6)") {
+    import graft.router.{Handler, Router}
+    case class AppState(priority: Int)
+    def makeHandler(st: AppState): Handler =
+      Handler.linkFollower(priority = lit(st.priority))
+    val router = Router(Map("page" -> makeHandler(AppState(7))))
+    val fetched = Seq(("http://a.test/x", "page", 1)).toDF("canonical", "tag", "depth")
+      .withColumn("spans", typedlit(Seq(("link", "t", "http://a.test/y", 0)))
+        .cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>"))
+      .withColumn("status", lit(200))
+    val out = router(fetched)
+      .select(explode($"children").as("c")).select($"c.priority")
+      .as[Int].collect()
+    assert(out.toSeq == Seq(7))
+  }
+
   test("success accounting: success = continue|wait (metric.rs:126-155)") {
     val got = Seq("continue", "wait", "skip", "hold", "fail").toDF("o")
       .select(FlowControl.isSuccess($"o")).as[Boolean].collect().toSeq
