@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.canon.Canon
+import graft.dedup.Seen
+
+/** Operator-pipeline scaling probe: one pass of
+  * synthesize-URL -> canonicalize -> hash -> in-batch dedup -> count over
+  * N rows. Pure compute + one shuffle; no iterative round structure, so
+  * it isolates operator scaling from the crawl loop's per-round floor.
+  * Run at two SPARK_GRAFT_CPUS levels on the same N.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_PROBE_ROWS", "30000000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val t0 = System.nanoTime()
+    val id = col("id")
+    val messy = concat(
+      lit("HTTP://Host"), (id % 100000).cast("string"), lit(".Test"),
+      when(id % 3 === 0, lit(":80")).otherwise(lit("")),
+      lit("/p/"), (id % 20000000).cast("string"),
+      when(id % 2 === 0, lit("?b=2&a=1")).otherwise(lit("")),
+      when(id % 5 === 0, lit("#f")).otherwise(lit("")))
+    val projected = spark.range(n)
+      .select(Canon.canonicalize(messy).as("canonical"),
+        id.as("parentSeq"), lit(0).as("emissionIdx"))
+      .withColumn("urlHash", Canon.urlHash(col("canonical")))
+    // noshuffle mode isolates pure compute scaling from the local-disk
+    // shuffle bandwidth (which is per-NODE, not per-core: on a real
+    // multi-executor cluster it scales with executor count)
+    val noShuffle = sys.env.get("SPARK_GRAFT_PROBE_NOSHUFFLE").contains("1")
+    val out =
+      if (noShuffle)
+        projected.agg(sum(pmod(col("urlHash"), lit(1000000L))))
+          .collect()(0).getLong(0) % 1000L
+      else Seen.firstOccurrence(projected,
+        struct(col("parentSeq"), col("emissionIdx"))).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"""{"probe":"canon_dedup","rows":$n,"unique":$out,"sec":$secs%.1f,"rows_per_sec":${n / secs}%.0f,"cpus":$cpus}""")
+    spark.stop()
+  }
+}
