@@ -27,7 +27,7 @@ object Explain {
           println(s"\n## $name\n")
           println("```")
           try println(fn(spark, dir).queryExecution.explainString(
-            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+            org.apache.spark.sql.execution.ExplainMode.fromString(sys.env.getOrElse("GRAFT_EXPLAIN_MODE", "formatted"))))
           catch { case e: Throwable => println(s"explain failed: $e") }
           println("```")
         }
