@@ -56,13 +56,30 @@ object Canon {
     val portPart = when(keepPort, concat(lit(":"), p0)).otherwise(lit(""))
     val rawPath = path(u)
     val p1 = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val p1b = removeDotSegments(p1)
     // strip trailing slash on non-root
-    val p2 = when(p1 =!= "/", regexp_replace(p1, "\\/$", "")).otherwise(p1)
+    val p2 = when(p1b =!= "/", regexp_replace(p1b, "\\/$", "")).otherwise(p1b)
     val q0 = query(u)
     val qSorted = concat_ws("&", sort_array(split(q0, "&")))
     val qPart = when(q0 === "", lit("")).otherwise(concat(lit("?"), qSorted))
     when(regexp_extract(u, schemeR, 1) === "", lit(null).cast("string"))
       .otherwise(concat(sch, lit("://"), h, portPart, p2, qPart))
+  }
+
+  /** RFC 3986 §5.2.4 dot-segment removal, bounded-iteration form:
+    * "/./" collapses, "seg/../" cancels; four passes handle nesting depth
+    * <= 4 per pass pair (16 effective levels — beyond any sane URL; the
+    * canonicalizer is idempotent so re-canonicalizing converges anyway).
+    * Leading "/../" at the root clamps to "/".
+    */
+  def removeDotSegments(p: Column): Column = {
+    def once(c: Column): Column = {
+      val noDot = regexp_replace(c, "/\\.(?=/|$)", "")
+      regexp_replace(noDot, "/(?!\\.\\.(?:/|$))[^/]+/\\.\\.(?=/|$)", "")
+    }
+    val reduced = (1 to 4).foldLeft(p)((c, _) => once(c))
+    val clamped = regexp_replace(reduced, "^(/\\.\\.)+(/|$)", "/")
+    when(clamped === "", lit("/")).otherwise(clamped)
   }
 
   /** Partition key for the frontier / seen tables (SURVEY §2.6). */

@@ -30,6 +30,24 @@ class CanonSpec extends SparkTestBase {
     }
   }
 
+  test("dot-segment removal (RFC 3986 §5.2.4)") {
+    val cases = Seq(
+      "http://h.test/a/./b" -> "http://h.test/a/b",
+      "http://h.test/a/b/../c" -> "http://h.test/a/c",
+      "http://h.test/a/b/../../c" -> "http://h.test/c",
+      "http://h.test/a/./b/./../c" -> "http://h.test/a/c",
+      "http://h.test/../a" -> "http://h.test/a",
+      "http://h.test/a/.." -> "http://h.test/",
+      "http://h.test/./" -> "http://h.test/",
+      "http://h.test/a/../../../b" -> "http://h.test/b",
+      "http://h.test/x/y/z/../../../../w" -> "http://h.test/w"
+    )
+    val got = canon(cases.map(_._1): _*)
+    cases.map(_._2).zip(got).zip(cases.map(_._1)).foreach {
+      case ((want, g), in) => assert(g == want, s"input: $in")
+    }
+  }
+
   test("non-URL input canonicalizes to null (dropped upstream)") {
     assert(canon("not a url", "mailto:x@y.z").forall(_ == null))
   }
