@@ -360,6 +360,14 @@ object CrawlEngine {
       val seenStat = TableIO.writeRound(newSeen, workDir, "seen", round,
         "urlHash", cfg.frontierPartitions)
 
+      // periodic seen compaction (Iceberg-style snapshot): bounds the
+      // delta-union fan-in; read path picks the snapshot automatically
+      if (cfg.compactSeenEvery > 0 && round > 0 &&
+          (round + 1) % cfg.compactSeenEvery == 0) {
+        TableIO.compactDeltas(spark, workDir, "seen", round, "urlHash",
+          cfg.frontierPartitions)
+      }
+
       // bloom ledger delta: aggregate only this round's new hashes into a
       // delta-sized family member (probed alongside earlier rounds')
       if (cfg.dedup && cfg.useBloomPrefilter && scheduledCount > 0) {

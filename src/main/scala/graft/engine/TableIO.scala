@@ -82,11 +82,42 @@ object TableIO {
   /** Read the union of ALL rounds <= `round` of an append-only (delta)
     * table — the Iceberg-style accumulating read path (the `seen` store
     * appends one delta per round instead of rewriting O(n) rows).
+    * If a compaction snapshot exists at some round c <= round
+    * (`<name>_compact/round=c`), read it plus only the deltas after c.
     */
   def readDeltas(spark: SparkSession, dir: String, name: String, round: Int): DataFrame = {
-    val paths = (0 to round).map(r => s"$dir/$name/round=$r")
+    val compactAt = (0 to round)
+      .filter(r => Files.isDirectory(Paths.get(s"$dir/${name}_compact/round=$r")))
+      .lastOption
+    val base = compactAt.map(c => Seq(s"$dir/${name}_compact/round=$c"))
+      .getOrElse(Seq.empty)
+    val deltas = ((compactAt.map(_ + 1).getOrElse(0)) to round)
+      .map(r => s"$dir/$name/round=$r")
       .filter(p => Files.isDirectory(Paths.get(p)))
-    spark.read.parquet(paths: _*).drop("_bucket")
+    spark.read.parquet((base ++ deltas): _*).drop("_bucket")
+  }
+
+  /** Compact all deltas <= `round` into one snapshot
+    * (`<name>_compact/round=<round>`). Subsequent [[readDeltas]] calls read
+    * the snapshot + newer deltas only — bounds the union fan-in on very
+    * long crawls. The old deltas stay on disk (lineage/audit); physical
+    * GC is an operational concern outside the engine.
+    */
+  def compactDeltas(spark: SparkSession, dir: String, name: String,
+      round: Int, hashCol: String, buckets: Int): TableStat = {
+    val all = readDeltas(spark, dir, name, round)
+    writeRoundCompact(all, dir, s"${name}_compact", round, hashCol, buckets)
+  }
+
+  private def writeRoundCompact(df: DataFrame, dir: String, name: String,
+      round: Int, hashCol: String, buckets: Int): TableStat = {
+    val path = s"$dir/$name/round=$round"
+    df.withColumn("_bucket",
+        pmod(col(hashCol), lit(buckets.toLong)).cast("int"))
+      .repartition(buckets, col("_bucket"))
+      .write.mode("overwrite").parquet(path)
+    val rows = df.sparkSession.read.parquet(path).count()
+    TableStat(name, rows, Seq.empty)
   }
 
   // ---- manifest ----

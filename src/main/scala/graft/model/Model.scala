@@ -159,5 +159,8 @@ case class CrawlConfig(
     enforceDefer: Boolean = false,
     enforceAbort: Boolean = false,
     msPerRound: Long = 1000L,
-    useBloomPrefilter: Boolean = true
+    useBloomPrefilter: Boolean = true,
+    /** compact the seen-delta family every K rounds (0 = off): bounds the
+      * read-path union fan-in on long crawls. */
+    compactSeenEvery: Int = 0
 )

@@ -164,6 +164,32 @@ class EngineSpec extends SparkTestBase {
     assert(r.metrics.forall(m => m.success == 0))
   }
 
+  test("seen compaction: identical trace + resume across snapshot boundary") {
+    val robots = Corpus.robotsLocal(spec, hostBudget = 3)
+    val base = CrawlConfig(maxRounds = 5, maxDepth = 4,
+      defaultHostBudget = 3, frontierPartitions = 4,
+      bloomExpectedItems = 10000L, compactSeenEvery = 2)
+    val dirA = SparkTestBase.tmpDir("compact")
+    val withCompact = CrawlEngine.run(spark, docsDf, seeds, robots.toDS(),
+      router, base, dirA)
+    val dirB = SparkTestBase.tmpDir("nocompact")
+    val without = CrawlEngine.run(spark, docsDf, seeds, robots.toDS(),
+      router, base.copy(compactSeenEvery = 0), dirB)
+    def key(r: CrawlEngine.RunResult) = r.trace(spark)
+      .select($"seq", $"url", $"depth").as[(Long, String, Int)]
+      .collect().sortBy(_._1).toSeq
+    assert(key(withCompact) == key(without))
+    // snapshot actually exists and resume reads through it
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dirA, "seen_compact")))
+    val dirC = SparkTestBase.tmpDir("compact-resume")
+    CrawlEngine.run(spark, docsDf, seeds, robots.toDS(), router,
+      base.copy(maxRounds = 3), dirC)
+    val resumed = CrawlEngine.resume(spark, docsDf, seeds, robots.toDS(),
+      router, base, dirC)
+    assert(key(resumed) == key(without))
+  }
+
   test("abort enforcement: Fail permanently kills the matching tag") {
     val failing = Router(
       Map("page" -> Handler(Handler.linkFollower().children,
