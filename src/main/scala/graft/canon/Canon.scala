@@ -1,41 +1,65 @@
 package graft.canon
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftExpr
 import org.apache.spark.sql.functions._
 
-/** URL canonicalization as pure Catalyst `Column` expressions — no UDFs,
-  * so predicate pushdown / constant folding / whole-stage codegen all apply.
+/** URL canonicalization (north-rule op; the reference has no canonicalizer —
+  * its closest analogue is the `map_data` URL-lowercasing example,
+  * spire-rs/spire crates/spire-core/src/dataset/utils/mod.rs:38-47).
   *
-  * The reference has no canonicalizer (its closest analogue is the
-  * `map_data` URL-lowercasing example, spire-rs/spire
-  * crates/spire-core/src/dataset/utils/mod.rs:38-47); the north rule
-  * requires one. Rules implemented (all standard WHATWG-ish):
+  * Rules (all standard WHATWG-ish):
   *   1. trim; strip fragment (`#...`)
-  *   2. lowercase scheme + host
+  *   2. lowercase scheme + host; strip userinfo; keep bracketed IPv6 hosts
   *   3. drop default ports (:80 http, :443 https)
-  *   4. empty path -> "/"
+  *   4. empty path -> "/"; RFC 3986 §5.2.4 dot-segment removal
   *   5. strip trailing "/" on non-root paths
   *   6. sort query parameters; drop empty query ("?")
   *
-  * Everything is regexp/string built-ins so the identical transform is
-  * expressible in ANSI SQL for the DuckDB oracle (see SparkEntry.oracleSql).
+  * TWO implementations with pinned-equal semantics:
+  *   - [[canonicalize]]/[[host]]: fused Catalyst expressions
+  *     ([[CanonicalizeUrl]]/[[UrlHost]] -> [[CanonCore]]) — one static call
+  *     in generated code. This is what the engine uses: the round-1 Column
+  *     tree re-expanded the URL regex per component and blew Janino's 64 KB
+  *     method limit inside the crawl round's children projection,
+  *     de-optimizing every round to interpreted execution.
+  *   - [[canonicalizeCol]]/[[hostCol]]: the pure-Column form (regexp/string
+  *     built-ins only) — kept as the executable spec: CanonSpec pins
+  *     fused == Column on a property corpus, and the same transform is
+  *     expressible in ANSI SQL for the DuckDB oracle (SparkEntry.oracleSql).
   */
 object Canon {
 
   private val schemeR = "^([a-zA-Z][a-zA-Z0-9+.-]*):\\/\\/"
-  // captures: 1=scheme, 2=host[:port], 3=path, 4=?query (optional)
+  // captures: 1=scheme, 2=authority (userinfo@host:port), 3=path, 4=?query
   private val urlR = "^([a-zA-Z][a-zA-Z0-9+.-]*):\\/\\/([^\\/?#]*)([^?#]*)(\\?[^#]*)?.*$"
+
+  // ---- fused expressions (engine hot path) ----
+
+  /** Full canonical form. Null/non-URL input -> null (dropped upstream). */
+  def canonicalize(url: Column): Column =
+    GraftExpr.column(CanonicalizeUrl(GraftExpr.expression(url)))
+
+  /** host (authority minus userinfo/port), lowercased; "" for non-URLs. */
+  def host(url: Column): Column =
+    GraftExpr.column(UrlHost(GraftExpr.expression(url)))
+
+  // ---- pure-Column form (executable spec / oracle portability) ----
 
   /** scheme, lowercased. */
   def scheme(url: Column): Column = lower(regexp_extract(url, urlR, 1))
 
-  /** host (authority without port), lowercased. */
-  def host(url: Column): Column =
-    lower(regexp_extract(regexp_extract(url, urlR, 2), "^([^:]*)", 1))
+  /** authority with userinfo stripped ("user:pass@h:80" -> "h:80"). */
+  private def authority(url: Column): Column =
+    regexp_replace(regexp_extract(url, urlR, 2), "^[^@]*@", "")
+
+  /** host as a Column tree: bracketed IPv6 literal or up-to-first-colon. */
+  def hostCol(url: Column): Column =
+    lower(regexp_extract(authority(url), "^(\\[[^\\]]*\\]|[^:]*)", 1))
 
   /** explicit port or empty string. */
   def port(url: Column): Column =
-    regexp_extract(regexp_extract(url, urlR, 2), ":([0-9]+)$", 1)
+    regexp_extract(authority(url), ":([0-9]+)$", 1)
 
   /** path; "" when absent. */
   def path(url: Column): Column = regexp_extract(url, urlR, 3)
@@ -44,11 +68,15 @@ object Canon {
   def query(url: Column): Column =
     regexp_extract(regexp_extract(url, urlR, 4), "^\\?(.*)$", 1)
 
-  /** Full canonical form. Null/non-URL input -> null (dropped upstream). */
-  def canonicalize(url: Column): Column = {
+  /** Full canonical form as a pure Column tree — semantics identical to
+    * [[canonicalize]] (pinned by CanonSpec's differential property).
+    * NOT for wide projections: inlining re-expands the URL regex per
+    * component (the round-1 64 KB-codegen defect).
+    */
+  def canonicalizeCol(url: Column): Column = {
     val u = regexp_replace(trim(url), "#.*$", "") // strip fragment
     val sch = scheme(u)
-    val h = host(u)
+    val h = hostCol(u)
     val p0 = port(u)
     // default-port elision
     val keepPort = (p0 =!= "") &&
