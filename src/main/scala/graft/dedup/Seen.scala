@@ -74,19 +74,24 @@ object Seen {
   /** Probe a FAMILY of per-round shard maps (the engine appends one
     * delta-sized bloom map per round instead of merging into one — merging
     * requires identical capacities, which forces oversized fixed buffers
-    * whose partial-aggregate shuffle cost does not scale).
-    * Returns (definitelyNew, maybeSeen).
+    * whose partial-aggregate shuffle cost does not scale; the family is
+    * merged into ONE right-sized filter at each seen compaction).
+    *
+    * Takes BROADCAST handles: each delta is shipped to executors exactly
+    * once, when the engine builds it — round 1 re-broadcast the whole
+    * family every round, pinning one deserialized copy per (round ×
+    * member × shard) forever (ADVICE r01). Returns
+    * (definitelyNew, maybeSeen).
     */
   def bloomPrefilterMulti(
       candidates: DataFrame,
-      family: Seq[Map[Int, Array[Byte]]],
+      family: Seq[org.apache.spark.broadcast.Broadcast[Map[Int, Array[Byte]]]],
       nShards: Int
   ): (DataFrame, DataFrame) = {
-    val spark = candidates.sparkSession
-    val bc = spark.sparkContext.broadcast(family)
+    val handles = family // stable closure capture (no engine state)
     val mightContain = udf { (hash: Long) =>
       val shard = (((hash % nShards) + nShards) % nShards).toInt
-      bc.value.exists(_.get(shard).exists(bytes =>
+      handles.exists(_.value.get(shard).exists(bytes =>
         Filters.deserialize(bytes).mightContainLong(hash)))
     }
     val tagged = candidates.withColumn("_maybe_seen", mightContain(col("urlHash")))
@@ -137,14 +142,24 @@ object Seen {
 
 }
 
-/** Executor-side bloom deserialization cache: the broadcast ships bytes
-  * once; each executor materializes the BloomFilter object at most once
-  * per byte array (identity-keyed).
+/** Executor-side bloom deserialization cache. Identity-keyed for O(1)
+  * per-probe lookups, but WEAK-keyed (vs round 1's strong ConcurrentHashMap,
+  * ADVICE r01): each broadcast's bytes are deserialized at most once while
+  * that broadcast is live, and when the engine destroys a superseded
+  * broadcast (bloom-family compaction) the key array becomes unreachable
+  * and the entry is collected — no unbounded growth on 10^10-URL crawls
+  * and no cluster-wide invalidation protocol needed.
   */
 object Filters {
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Array[Byte], BloomFilter]()
-  def deserialize(bytes: Array[Byte]): BloomFilter =
-    cache.computeIfAbsent(bytes, b =>
-      BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[Array[Byte], BloomFilter]())
+  def deserialize(bytes: Array[Byte]): BloomFilter = {
+    val hit = cache.get(bytes)
+    if (hit != null) hit
+    else {
+      val f = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+      cache.put(bytes, f)
+      f
+    }
+  }
 }

@@ -54,9 +54,11 @@ object CrawlEngine {
     private def roundDirs(name: String): Seq[String] = {
       val base = java.nio.file.Paths.get(workDir, name)
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(base).iterator().asScala
+      val s = java.nio.file.Files.list(base) // close: runs on every trace()
+      try s.iterator().asScala
         .filter(p => p.getFileName.toString.startsWith("round="))
         .map(_.toString).toSeq.sorted
+      finally s.close()
     }
     def trace(spark: SparkSession): DataFrame =
       spark.read.parquet(roundDirs("trace"): _*).drop("_bucket")
@@ -117,6 +119,19 @@ object CrawlEngine {
       .drop("_ps", "_off", "_rk")
   }
 
+  /** Checkpointed state handed from [[resume]] into [[run]]: the frontier,
+    * the accumulated seen table, the next global seq, and both politeness
+    * ledgers (checkpointed per round in the manifest — without them, resume
+    * under enforceDefer/enforceAbort/crawl-delay would resurrect killed
+    * tags and drop pending defers, breaking resume == straight-through).
+    */
+  case class ResumeState(
+      frontier: DataFrame,
+      seen: DataFrame,
+      nextSeq: Long,
+      deferLedger: Map[String, Int],
+      hostNotBefore: Map[String, Int])
+
   /** One full crawl. `docs` is the corpus table (doc_id = canonical URL,
     * spans = interleaved content). Returns per-round metrics; the trace /
     * records / seen tables live under `workDir`.
@@ -130,32 +145,53 @@ object CrawlEngine {
       cfg: CrawlConfig,
       workDir: String,
       startRound: Int = 0,
-      resumeState: Option[(DataFrame, DataFrame, Long)] = None,
+      resumeState: Option[ResumeState] = None,
       fetcher: Option[Fetcher] = None
   ): RunResult = {
     import spark.implicits._
     val theFetcher = fetcher.getOrElse(new JoinFetcher(docs))
 
-    var frontier = resumeState.map(_._1)
+    var frontier = resumeState.map(_.frontier)
       .getOrElse(seedCandidates(spark, seeds, cfg.lifo))
-    var seen = resumeState.map(_._2).getOrElse(
+    var seen = resumeState.map(_.seen).getOrElse(
       spark.emptyDataset[SeenEntry].toDF())
-    var nextSeq = resumeState.map(_._3).getOrElse(0L)
+    var nextSeq = resumeState.map(_.nextSeq).getOrElse(0L)
     var round = startRound
     var metrics = Vector.empty[RoundMetrics]
     // politeness defer ledger (reference apply_defer, runner.rs:289-306):
     // tag -> earliest eligible round. "__every__" mirrors the reference
     // deferring Tag::Fallback on TagQuery::Every.
-    var deferLedger = Map.empty[String, Int]
+    var deferLedger = resumeState.map(_.deferLedger)
+      .getOrElse(Map.empty[String, Int])
+    // per-HOST crawl-delay ledger (north-rule robots rules): host ->
+    // earliest eligible round, apply_defer semantics (max(existing, now)+d,
+    // runner.rs:289-306) in round units. Enforced in the BATCH path too —
+    // round 1 only enforced crawlDelayMs in the streaming demo.
+    var hostNotBefore = resumeState.map(_.hostNotBefore)
+      .getOrElse(Map.empty[String, Int])
+    // robots is tiny by construction (one row per host): the delay table
+    // lives on the driver like the tag ledger
+    val delayRounds: Map[String, Int] =
+      if (robots.isEmpty) Map.empty
+      else robots.collect().iterator
+        .filter(_.crawlDelayMs > 0)
+        .map(r => r.host -> math.max(1,
+          math.ceil(r.crawlDelayMs.toDouble / cfg.msPerRound).toInt))
+        .toMap
     // bloom ledger = FAMILY of per-round shard maps, each sized to its
     // round's delta (no merge, no fixed oversized buffers — keeps the
-    // partial-aggregate shuffle proportional to actual new URLs).
-    var bloomLedger = Vector.empty[Map[Int, Array[Byte]]]
+    // partial-aggregate shuffle proportional to actual new URLs). Members
+    // are broadcast ONCE when built and destroyed when the family is
+    // merged at seen compaction (ADVICE r01: re-broadcasting the family
+    // every round pinned every superseded copy forever).
+    var bloomLedger =
+      Vector.empty[org.apache.spark.broadcast.Broadcast[Map[Int, Array[Byte]]]]
+    def bcast(m: Map[Int, Array[Byte]]) = spark.sparkContext.broadcast(m)
     // on resume, rebuild one family member from the checkpointed seen table
     if (resumeState.isDefined && cfg.dedup && cfg.useBloomPrefilter &&
         nextSeq > 0) {
-      bloomLedger = Vector(Seen.buildShardedBlooms(seen, cfg.bloomShards,
-        math.max(nextSeq / cfg.bloomShards, 1000L), cfg.bloomFpp))
+      bloomLedger = Vector(bcast(Seen.buildShardedBlooms(seen, cfg.bloomShards,
+        math.max(nextSeq / cfg.bloomShards, 1000L), cfg.bloomFpp)))
     }
 
     // politeness fast path: when every budget is effectively unbounded the
@@ -214,10 +250,20 @@ object CrawlEngine {
             struct(col("parentSeq"), col("emissionIdx")))
         }
 
-      // 3. robots + politeness budget
-      val allowed = Politeness.robotsFilter(eligible1, robots)
+      // 3. robots + crawl-delay + politeness budget
+      val allowed0 = Politeness.robotsFilter(eligible1, robots)
+      // crawl-delay block: hosts inside their delay window carry their
+      // candidates to the next round (per-host analogue of the tag defer)
+      val delayedNow = hostNotBefore.filter(_._2 > round).keys.toSeq
+      val (allowed, delayBlocked) =
+        if (delayedNow.isEmpty) (allowed0, allowed0.limit(0))
+        else (allowed0.filter(!col("host").isin(delayedNow: _*)),
+          allowed0.filter(col("host").isin(delayedNow: _*)))
       val (underBudget, overBudget) =
         if (budgetUnbounded) (allowed.drop("_hostBudget"), allowed.limit(0))
+        else if (cfg.budgetSalts > 1)
+          Politeness.budgetRankSalted(allowed, cfg.defaultHostBudget,
+            cfg.budgetSalts)
         else Politeness.budgetRank(allowed, cfg.defaultHostBudget)
 
       // 4. depth bound + seq assignment
@@ -226,7 +272,7 @@ object CrawlEngine {
         broadcastOffsets = frontierCount < 1000000L)
       val schedStat = TableIO.writeRound(
         scheduled, workDir, "scheduled", round, "urlHash",
-        cfg.frontierPartitions)
+        cfg.frontierPartitions, cfg.lineageStats)
       val scheduledBack = TableIO.readRound(spark, workDir, "scheduled", round)
       val scheduledCount = schedStat.rows
 
@@ -351,38 +397,68 @@ object CrawlEngine {
       val nextFrontier = children
         .unionByName(overBudget.select(candCols.map(col).toIndexedSeq: _*))
         .unionByName(deferred.select(candCols.map(col).toIndexedSeq: _*))
+        .unionByName(delayBlocked.select(candCols.map(col).toIndexedSeq: _*))
       val newSeen = scheduledBack.select(
         col("urlHash"), col("canonical"),
         col("seq").as("firstSeq"), lit(round).as("round"))
 
       val frontStat = TableIO.writeRound(nextFrontier, workDir, "frontier",
-        round, "urlHash", cfg.frontierPartitions)
+        round, "urlHash", cfg.frontierPartitions, cfg.lineageStats)
       val seenStat = TableIO.writeRound(newSeen, workDir, "seen", round,
-        "urlHash", cfg.frontierPartitions)
+        "urlHash", cfg.frontierPartitions, cfg.lineageStats)
 
+      // crawl-delay ledger update: every delay-host scheduled this round
+      // gets notBefore = max(existing, now) + d (runner.rs:289-306)
+      if (delayRounds.nonEmpty && scheduledCount > 0) {
+        val hostsHit = scheduledBack
+          .filter(col("host").isin(delayRounds.keys.toSeq: _*))
+          .select(col("host")).distinct().collect().map(_.getString(0))
+        hostsHit.foreach { h =>
+          val base = math.max(hostNotBefore.getOrElse(h, round), round)
+          hostNotBefore += h -> (base + delayRounds(h))
+        }
+      }
+
+      val compactNow = cfg.compactSeenEvery > 0 && round > 0 &&
+        (round + 1) % cfg.compactSeenEvery == 0
       // periodic seen compaction (Iceberg-style snapshot): bounds the
       // delta-union fan-in; read path picks the snapshot automatically
-      if (cfg.compactSeenEvery > 0 && round > 0 &&
-          (round + 1) % cfg.compactSeenEvery == 0) {
+      if (compactNow) {
         TableIO.compactDeltas(spark, workDir, "seen", round, "urlHash",
           cfg.frontierPartitions)
       }
 
-      // bloom ledger delta: aggregate only this round's new hashes into a
-      // delta-sized family member (probed alongside earlier rounds')
-      if (cfg.dedup && cfg.useBloomPrefilter && scheduledCount > 0) {
-        val perShard = math.max(scheduledCount / cfg.bloomShards, 1000L)
-        bloomLedger :+= Seen.buildShardedBlooms(newSeen, cfg.bloomShards,
-          perShard, cfg.bloomFpp)
+      if (cfg.dedup && cfg.useBloomPrefilter) {
+        if (compactNow) {
+          // merge the bloom family into ONE filter sized to the full
+          // compacted seen set: probe cost returns to O(1) per candidate
+          // and the superseded broadcasts are destroyed (their executor
+          // cache entries age out via the weak-keyed Filters cache)
+          val totalSeen = nextSeq + scheduledCount
+          val merged = bcast(Seen.buildShardedBlooms(
+            TableIO.readDeltas(spark, workDir, "seen", round),
+            cfg.bloomShards,
+            math.max(totalSeen / cfg.bloomShards, 1000L), cfg.bloomFpp))
+          val old = bloomLedger
+          bloomLedger = Vector(merged)
+          old.foreach(_.destroy())
+        } else if (scheduledCount > 0) {
+          // bloom ledger delta: aggregate only this round's new hashes into
+          // a delta-sized family member (probed alongside earlier rounds')
+          val perShard = math.max(scheduledCount / cfg.bloomShards, 1000L)
+          bloomLedger :+= bcast(Seen.buildShardedBlooms(newSeen,
+            cfg.bloomShards, perShard, cfg.bloomFpp))
+        }
       }
 
-      // 11. manifest commit
+      // 11. manifest commit (includes both politeness ledgers: resume must
+      //     not resurrect killed tags or forget pending defers/delays)
       val m = RoundMetrics(round, frontierCount, scheduledCount,
         frontStat.rows, seenStat.rows,
         succ, fail, (System.nanoTime() - t0) / 1000000L)
       TableIO.writeManifest(workDir, round,
         TableIO.manifestJson(round, Seq(schedStat, frontStat, seenStat), m,
-          completed = true))
+          completed = true, deferLedger, hostNotBefore))
       metrics :+= m
 
       // 12. advance (read back from checkpoint: plan restarts at scan)
@@ -432,7 +508,10 @@ object CrawlEngine {
     val frontier = TableIO.readRound(spark, workDir, "frontier", last)
     val seen = TableIO.readDeltas(spark, workDir, "seen", last)
     val nextSeq = seen.count()
+    val (deferLedger, hostNotBefore) = TableIO.readLedgers(workDir, last)
     run(spark, docs, seeds, robots, router, cfg, workDir,
-      startRound = last + 1, resumeState = Some((frontier, seen, nextSeq)))
+      startRound = last + 1,
+      resumeState =
+        Some(ResumeState(frontier, seen, nextSeq, deferLedger, hostNotBefore)))
   }
 }

@@ -32,7 +32,8 @@ object TableIO {
       name: String,
       round: Int,
       hashCol: String,
-      buckets: Int
+      buckets: Int,
+      withStats: Boolean = true
   ): TableStat = {
     val path = s"$dir/$name/round=$round"
     val bucketed = df.withColumn("_bucket",
@@ -41,16 +42,22 @@ object TableIO {
       .repartition(buckets, col("_bucket"))
       .write.mode("overwrite").parquet(path)
     val back = df.sparkSession.read.parquet(path)
-    val rowHash = xxhash64(back.columns.filterNot(_ == "_bucket")
-      .sorted.map(col).toIndexedSeq: _*)
-    val stats = back
-      .select(col("_bucket"), rowHash.as("_h"))
-      .groupBy(col("_bucket"))
-      .agg(count(lit(1)).as("rows"), expr("bit_xor(_h)").as("ch"))
-      .collect()
-      .map(r => PartStat(r.getInt(0), r.getLong(1), r.getLong(2)))
-      .toSeq.sortBy(_.bucket)
-    TableStat(name, stats.map(_.rows).sum, stats)
+    if (!withStats) {
+      // metadata-only count (parquet footers) — the full stats read-back
+      // doubles round I/O, unjustifiable at 10^10-row rounds
+      TableStat(name, back.count(), Seq.empty)
+    } else {
+      val rowHash = xxhash64(back.columns.filterNot(_ == "_bucket")
+        .sorted.map(col).toIndexedSeq: _*)
+      val stats = back
+        .select(col("_bucket"), rowHash.as("_h"))
+        .groupBy(col("_bucket"))
+        .agg(count(lit(1)).as("rows"), expr("bit_xor(_h)").as("ch"))
+        .collect()
+        .map(r => PartStat(r.getInt(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_.bucket)
+      TableStat(name, stats.map(_.rows).sum, stats)
+    }
   }
 
   /** Write without the stats read-back (for sink tables whose row counts
@@ -126,7 +133,9 @@ object TableIO {
       round: Int,
       tables: Seq[TableStat],
       metrics: graft.model.RoundMetrics,
-      completed: Boolean
+      completed: Boolean,
+      deferLedger: Map[String, Int] = Map.empty,
+      hostNotBefore: Map[String, Int] = Map.empty
   ): String = {
     def parts(ps: Seq[PartStat]) = ps.map(p =>
       s"""{"bucket":${p.bucket},"rows":${p.rows},"content_hash":${p.contentHash}}""")
@@ -138,7 +147,69 @@ object TableIO {
     s"""{"round":$round,"tables":$ts,"metrics":{"frontier_rows":${m.frontierRows},""" +
       s""""scheduled_rows":${m.scheduledRows},"emitted_children":${m.emittedChildren},""" +
       s""""seen_delta":${m.seenDelta},"success":${m.success},"failure":${m.failure},""" +
-      s""""wall_ms":${m.wallMs}},"completed":$completed}"""
+      s""""wall_ms":${m.wallMs}},"ledgers":{"defer":${ledgerJson(deferLedger)},""" +
+      s""""host_not_before":${ledgerJson(hostNotBefore)}},"completed":$completed}"""
+  }
+
+  // ---- politeness ledgers (checkpointed so resume == straight-through in
+  //      enforce modes — ADVICE r01: round 1 restarted with empty ledgers,
+  //      resurrecting killed tags and dropping pending defers) ----
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    // braces unicode-escaped (legal JSON) so parseLedger's object-bounds
+    // scan can never be fooled by a brace inside a tag/host key
+    case c if c < ' ' || c == '{' || c == '}' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def jsonUnescape(raw: String): String = {
+    val sb = new StringBuilder(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '\\' && i + 1 < raw.length) {
+        raw.charAt(i + 1) match {
+          case 'u' =>
+            sb += Integer.parseInt(raw.substring(i + 2, i + 6), 16).toChar
+            i += 6
+          case o => sb += o; i += 2
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  private def ledgerJson(m: Map[String, Int]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${jsonEscape(k)}":$v""" }
+      .mkString("{", ",", "}")
+
+  /** Parse one ledger object out of a manifest this module wrote (values
+    * are ints, keys are jsonEscape'd — a full JSON parser is not needed).
+    */
+  private def parseLedger(manifest: String, name: String): Map[String, Int] = {
+    val tag = s""""$name":{"""
+    val start = manifest.indexOf(tag)
+    if (start < 0) return Map.empty
+    val body = manifest.substring(start + tag.length,
+      manifest.indexOf('}', start + tag.length))
+    if (body.isEmpty) Map.empty
+    else {
+      val entry = """"((?:[^"\\]|\\.)*)":(-?\d+)""".r
+      entry.findAllMatchIn(body).map { m =>
+        jsonUnescape(m.group(1)) -> m.group(2).toInt
+      }.toMap
+    }
+  }
+
+  /** (deferLedger, hostNotBefore) from a round's manifest; empty maps for
+    * pre-ledger manifests.
+    */
+  def readLedgers(dir: String, round: Int): (Map[String, Int], Map[String, Int]) = {
+    val m = readManifest(dir, round)
+    (parseLedger(m, "defer"), parseLedger(m, "host_not_before"))
   }
 
   /** Atomic manifest commit: write temp then rename. */
@@ -155,16 +226,19 @@ object TableIO {
   def latestCompletedRound(dir: String): Int = {
     val mdir = Paths.get(dir, "_manifests")
     if (!Files.isDirectory(mdir)) return -1
-    Files.list(mdir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("round-") && s.endsWith(".json") =>
-        val body = new String(
-          Files.readAllBytes(mdir.resolve(s)), StandardCharsets.UTF_8)
-        (s.stripPrefix("round-").stripSuffix(".json").toInt,
-          body.contains("\"completed\":true"))
-      }
-      .collect { case (r, true) => r }
-      .foldLeft(-1)(math.max)
+    val s = Files.list(mdir) // closed below: each leak is one fd (ADVICE r01)
+    try {
+      s.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("round-") && n.endsWith(".json") =>
+          val body = new String(
+            Files.readAllBytes(mdir.resolve(n)), StandardCharsets.UTF_8)
+          (n.stripPrefix("round-").stripSuffix(".json").toInt,
+            body.contains("\"completed\":true"))
+        }
+        .collect { case (r, true) => r }
+        .foldLeft(-1)(math.max)
+    } finally s.close()
   }
 
   def readManifest(dir: String, round: Int): String =

@@ -161,6 +161,15 @@ case class CrawlConfig(
     msPerRound: Long = 1000L,
     useBloomPrefilter: Boolean = true,
     /** compact the seen-delta family every K rounds (0 = off): bounds the
-      * read-path union fan-in on long crawls. */
-    compactSeenEvery: Int = 0
+      * read-path union fan-in on long crawls; also merges the bloom family
+      * into one right-sized filter (flat probe cost on long crawls). */
+    compactSeenEvery: Int = 0,
+    /** salted two-phase per-host budget rank (<=1 = off): bounds the
+      * hot-host window sort to 1/salts of the host's candidates per task.
+      * Selected rows are identical to the unsalted rank. */
+    budgetSalts: Int = 0,
+    /** per-bucket row counts + content hashes in the round manifest. At
+      * 10^10-row rounds the stats read-back doubles round I/O — disable
+      * for throughput runs; manifests still carry exact row counts. */
+    lineageStats: Boolean = true
 )

@@ -93,12 +93,19 @@ object Oracle {
       maxDepth: Int,
       maxRounds: Int,
       defaultBudget: Int,
-      dedup: Boolean = true
+      dedup: Boolean = true,
+      msPerRound: Long = 1000L
   ): Seq[TraceRow] = {
     case class Cand(url: String, tag: String, depth: Int, priority: Int,
         discoveryRound: Int, parentSeq: Long, emissionIdx: Int,
         path: Seq[Long])
     val rulesByHost = robots.map(r => r.host -> r).toMap
+    // per-host crawl-delay ledger (apply_defer semantics in round units:
+    // notBefore[h] = max(existing, now) + d — runner.rs:289-306)
+    val delayRounds = robots.filter(_.crawlDelayMs > 0)
+      .map(r => r.host -> math.max(1,
+        math.ceil(r.crawlDelayMs.toDouble / msPerRound).toInt)).toMap
+    val hostNotBefore = mutable.Map.empty[String, Int]
     val maxIdx = seeds.size - 1
     var frontier: Seq[Cand] = seeds.map(s =>
       Cand(s.url, s.tag, 1, 0, 0, -1L, maxIdx - s.registrationIdx,
@@ -124,8 +131,11 @@ object Oracle {
           case None => true
         }
       }
+      // crawl-delay block: hosts inside their delay window carry over
+      val (delayed, pass) = allowed.partition(c =>
+        hostNotBefore.getOrElse(hostOf(c.url), 0) > round)
       // per-host budget, ranked by (priority, discoveryRound, parentSeq, emissionIdx)
-      val (under, over) = allowed
+      val (under, over) = pass
         .groupBy(c => hostOf(c.url)).toSeq
         .flatMap { case (h, cs) =>
           val budget = rulesByHost.get(h).map(_.hostBudget)
@@ -153,7 +163,12 @@ object Oracle {
               c.path :+ (-e.toLong))
         }
       }
-      frontier = children ++ over.map(_._1)
+      scheduled.iterator.map(s => hostOf(s._1.url)).distinct
+        .filter(delayRounds.contains).foreach { h =>
+          val base = math.max(hostNotBefore.getOrElse(h, round), round)
+          hostNotBefore(h) = base + delayRounds(h)
+        }
+      frontier = children ++ over.map(_._1) ++ delayed
       nextSeq += scheduled.size
       round += 1
     }

@@ -44,27 +44,68 @@ object Politeness {
       .drop("_path", "_disallow")
   }
 
-  /** Keep at most `hostBudget` rows per host per round, best-first by
-    * (priority asc, discoveryRound asc, parentSeq asc, emissionIdx asc) —
-    * a deterministic total order within each host. Rows above budget stay
-    * in the frontier for later rounds (caller unions them back).
+  /** The deterministic total order within each host: best-first by
+    * (priority asc, discoveryRound asc, parentSeq asc, emissionIdx asc).
+    * (parentSeq, emissionIdx) is globally unique — each parent emits a
+    * child position once — so the order is total and both rank variants
+    * below select the exact same rows.
+    */
+  private val hostOrder = Seq(col("priority").asc, col("discoveryRound").asc,
+    col("parentSeq").asc, col("emissionIdx").asc)
+
+  private def budgetCol(frontier: DataFrame, defaultBudget: Int) =
+    if (frontier.columns.contains("_hostBudget"))
+      coalesce(col("_hostBudget"), lit(defaultBudget))
+    else lit(defaultBudget)
+
+  /** Keep at most `hostBudget` rows per host per round. Rows above budget
+    * stay in the frontier for later rounds (caller unions them back).
     * Returns (scheduled, overBudget).
     */
   def budgetRank(
       frontier: DataFrame,
       defaultBudget: Int
   ): (DataFrame, DataFrame) = {
-    val w = Window.partitionBy(col("host"))
-      .orderBy(col("priority").asc, col("discoveryRound").asc,
-        col("parentSeq").asc, col("emissionIdx").asc)
-    val budget =
-      if (frontier.columns.contains("_hostBudget"))
-        coalesce(col("_hostBudget"), lit(defaultBudget))
-      else lit(defaultBudget)
+    val w = Window.partitionBy(col("host")).orderBy(hostOrder: _*)
     val ranked = frontier
       .withColumn("_hrk", row_number().over(w))
-      .withColumn("_within", col("_hrk") <= budget)
+      .withColumn("_within", col("_hrk") <= budgetCol(frontier, defaultBudget))
     (ranked.filter(col("_within")).drop("_hrk", "_within", "_hostBudget"),
       ranked.filter(!col("_within")).drop("_hrk", "_within", "_hostBudget"))
+  }
+
+  /** Salted two-phase budget rank for hot-host skew (north-rule "hot-host
+    * skew" op): a 20%-hot host would otherwise sort its whole candidate
+    * set in ONE task inside [[budgetRank]]'s window.
+    *
+    * Phase 1 ranks within (host, salt = urlHash % salts): any row whose
+    * salt-local rank exceeds the budget cannot be within the host-global
+    * budget either (rows ahead of it in its salt are a subset of rows
+    * ahead of it in the host), so it is over-budget immediately — no
+    * single task ever sorts more than the hot host's share / salts.
+    * Phase 2 computes the exact global rank over the <= salts*budget
+    * survivors per host (a bounded set). Selected rows are IDENTICAL to
+    * [[budgetRank]] because the order key is total.
+    */
+  def budgetRankSalted(
+      frontier: DataFrame,
+      defaultBudget: Int,
+      salts: Int
+  ): (DataFrame, DataFrame) = {
+    val budget = budgetCol(frontier, defaultBudget)
+    val w1 = Window.partitionBy(col("host"), col("_salt")).orderBy(hostOrder: _*)
+    val pre = frontier
+      .withColumn("_salt", pmod(col("urlHash"), lit(salts.toLong)).cast("int"))
+      .withColumn("_lrk", row_number().over(w1))
+    val cut = pre.filter(col("_lrk") > budget)
+      .drop("_salt", "_lrk", "_hostBudget")
+    val w2 = Window.partitionBy(col("host")).orderBy(hostOrder: _*)
+    val ranked = pre.filter(col("_lrk") <= budget)
+      .withColumn("_hrk", row_number().over(w2))
+    val under = ranked.filter(col("_hrk") <= budget)
+      .drop("_salt", "_lrk", "_hrk", "_hostBudget")
+    val over = ranked.filter(col("_hrk") > budget)
+      .drop("_salt", "_lrk", "_hrk", "_hostBudget")
+    (under, over.unionByName(cut))
   }
 }

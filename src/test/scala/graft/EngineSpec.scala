@@ -206,6 +206,77 @@ class EngineSpec extends SparkTestBase {
     assert(r.trace(spark).filter($"tag".isNull && $"round" > 0).count() > 0)
   }
 
+  test("crawl-delay enforcement: golden trace + delayed hosts shift rounds") {
+    // every host waits 2 logical rounds between visits; budget still applies
+    val robots = Corpus.robotsLocal(spec, hostBudget = 3)
+      .map(_.copy(crawlDelayMs = 2000L))
+    val cfg = CrawlConfig(maxRounds = 10, maxDepth = 4,
+      defaultHostBudget = 3, frontierPartitions = 4, msPerRound = 1000L,
+      bloomExpectedItems = 10000L)
+    val (r, got) = runEngine(cfg, robots)
+    val want = Oracle.crawlEngineMode(docsMap, seeds, robots,
+      maxDepth = 4, maxRounds = 10, defaultBudget = 3)
+    val gotSorted = got.sortBy(_.seq).map(t =>
+      (t.seq, t.url, t.tag, t.depth, t.parentSeq))
+    val wantSorted = want.sortBy(_.seq).map(t =>
+      (t.seq, t.url, t.tag, t.depth, t.parentSeq))
+    assert(gotSorted.length == wantSorted.length,
+      s"rows: got ${gotSorted.length}, want ${wantSorted.length}")
+    gotSorted.zip(wantSorted).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g == w, s"first mismatch at trace position $i")
+    }
+    // a delayed host's scheduled rounds are always >= 2 apart
+    val gaps = r.trace(spark)
+      .select($"host", $"round").distinct().as[(String, Int)]
+      .collect().groupBy(_._1).values
+      .flatMap(_.map(_._2).sorted.toSeq.sliding(2).collect {
+        case Seq(a, b) => b - a
+      }).toSeq
+    assert(gaps.nonEmpty && gaps.forall(_ >= 2),
+      s"crawl delay violated: min gap ${if (gaps.isEmpty) -1 else gaps.min}")
+  }
+
+  test("resume under enforceDefer+enforceAbort restores ledgers (ADVICE r01)") {
+    // page requests defer 3 rounds AND media-tagged requests get killed:
+    // resuming right after round 0 must carry both ledgers forward
+    val mixed = Router(
+      Map(
+        "page" -> Handler(Handler.linkFollower().children,
+          graft.router.FlowControl.waitOwner(lit(3000L))),
+        "kill" -> Handler(Handler.linkFollower().children,
+          graft.router.FlowControl.mk(lit("fail"), lit("single:kill"), lit(0L)))),
+      fallback = Handler.linkFollower())
+    val seeds2 = seeds :+ graft.model.Seed(Corpus.url(50L, spec), "kill", 4)
+    val base = CrawlConfig(maxRounds = 6, maxDepth = 4, enforceDefer = true,
+      enforceAbort = true, msPerRound = 1000L, frontierPartitions = 4,
+      bloomExpectedItems = 10000L)
+    val dirA = SparkTestBase.tmpDir("enf-straight")
+    val straight = CrawlEngine.run(spark, docsDf, seeds2, noRobots, mixed,
+      base, dirA)
+    val dirB = SparkTestBase.tmpDir("enf-resume")
+    CrawlEngine.run(spark, docsDf, seeds2, noRobots, mixed,
+      base.copy(maxRounds = 1), dirB)
+    val resumed = CrawlEngine.resume(spark, docsDf, seeds2, noRobots, mixed,
+      base, dirB)
+    def key(r: CrawlEngine.RunResult) = r.trace(spark)
+      .select($"seq", $"url", $"tag", $"depth", $"round")
+      .as[(Long, String, String, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(key(straight) == key(resumed))
+    // the killed tag stayed dead after resume
+    assert(resumed.trace(spark)
+      .filter($"tag" === "kill" && $"round" > 0).count() == 0)
+  }
+
+  test("salted budget rank selects the identical trace (hot-host skew)") {
+    val robots = Corpus.robotsLocal(spec, hostBudget = 3)
+    val base = CrawlConfig(maxRounds = 6, maxDepth = 4,
+      defaultHostBudget = 3, frontierPartitions = 4,
+      bloomExpectedItems = 10000L)
+    val (_, plain) = runEngine(base, robots)
+    val (_, salted) = runEngine(base.copy(budgetSalts = 4), robots)
+    assert(plain.sortBy(_.seq).toSeq == salted.sortBy(_.seq).toSeq)
+  }
+
   test("manifest lineage: per-bucket stats present and complete") {
     val cfg = CrawlConfig(maxRounds = 2, maxDepth = 3,
       frontierPartitions = 4, bloomExpectedItems = 10000L)
