@@ -44,10 +44,11 @@ object PipelineQueries {
     s"CAST(list_sum([$a[i] * $b[i] for i in range(1, 65)]) AS BIGINT)"
   private def hyperLit(j: Int): String =
     Ann.hyper(j, 64).mkString("[", ", ", "]")
-  private def bucketSql(v: String): String =
-    (0 until 8).map { j =>
-      s"(CASE WHEN ${dotSql(v, s"(${hyperLit(j)})")} >= 0 THEN ${1L << j} ELSE 0 END)"
+  private def bucketSqlB(v: String, offset: Int, bits: Int): String =
+    (0 until bits).map { j =>
+      s"(CASE WHEN ${dotSql(v, s"(${hyperLit(offset + j)})")} >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+  private def bucketSql(v: String): String = bucketSqlB(v, 0, 8)
   private def cosSql(v: String, q: String) =
     s"CAST(${dotSql(v, q)} AS DOUBLE) / " +
       s"(sqrt(CAST(${dotSql(v, v)} AS DOUBLE)) * sqrt(CAST(${dotSql(q, q)} AS DOUBLE)))"
@@ -121,7 +122,15 @@ object PipelineQueries {
 
     "q_embed_neardup" -> ((s, dir) =>
       Ann.nearDupPairs(embeddings(s, dir), "vec_id", "embedding", 64,
-        thrNum = 1, thrDen = 5)
+        thrNum = 1, thrDen = 5, nBits = 8)
+        .orderBy("a", "b")),
+
+    // the scale path: 3 independent 6-bit bands, candidate = any-band
+    // collision, exact-cosine verified (bucket width shrinks with bits,
+    // recall recovered by banding — VERDICT r01 ANN scaling fix)
+    "q_embed_neardup_banded" -> ((s, dir) =>
+      Ann.nearDupPairsBanded(embeddings(s, dir), "vec_id", "embedding", 64,
+        thrNum = 1, thrDen = 5, bands = 3, bitsPerBand = 6)
         .orderBy("a", "b")),
 
     // P11 Json extractor analogue: parse the props JSON payload with
@@ -304,6 +313,22 @@ object PipelineQueries {
           v AS (SELECT vec_id, v, ${bucketSql("v")} AS b FROM v0)
           SELECT l.vec_id AS a, r.vec_id AS b
           FROM v l JOIN v r ON l.b = r.b AND l.vec_id < r.vec_id
+          WHERE ${dotSql("l.v", "r.v")} > 0
+            AND ${dotSql("l.v", "r.v")} * ${dotSql("l.v", "r.v")} * 25 >=
+                ${dotSql("l.v", "l.v")} * ${dotSql("r.v", "r.v")} * 1
+          ORDER BY a, b""",
+
+    "q_embed_neardup_banded" ->
+      s"""WITH v0 AS (SELECT vec_id, $qvSql AS v FROM embeddings),
+          v AS (SELECT vec_id, v,
+                  ${bucketSqlB("v", 0, 6)} AS b0,
+                  ${bucketSqlB("v", 6, 6)} AS b1,
+                  ${bucketSqlB("v", 12, 6)} AS b2
+                FROM v0)
+          SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+          FROM v l JOIN v r
+            ON (l.b0 = r.b0 OR l.b1 = r.b1 OR l.b2 = r.b2)
+               AND l.vec_id < r.vec_id
           WHERE ${dotSql("l.v", "r.v")} > 0
             AND ${dotSql("l.v", "r.v")} * ${dotSql("l.v", "r.v")} * 25 >=
                 ${dotSql("l.v", "l.v")} * ${dotSql("r.v", "r.v")} * 1

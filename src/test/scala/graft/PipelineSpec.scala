@@ -102,6 +102,73 @@ class PipelineSpec extends SparkTestBase {
     assert(assign.size == embeds.count())
   }
 
+  test("IVF fold-argmax == local argmax over collected vectors (differential)") {
+    // the r02 rewrite replaced the NxC crossJoin+window with a per-row fold
+    // over the centroid literal; pin it against a plain-Scala mirror
+    val all = embeds.select($"vec_id".cast("long"),
+        Ann.quantize($"embedding")).as[(Long, Seq[Long])].collect()
+    val cents = all.filter(_._1 % 50 == 0).sortBy(_._1)
+      .map { case (cid, cv) =>
+        (cid, cv, math.sqrt(cv.map(x => x * x).sum.toDouble)) }
+    def dot(a: Seq[Long], b: Seq[Long]) = a.zip(b).map(p => p._1 * p._2).sum
+    val want = all.map { case (id, v) =>
+      val vn = math.sqrt(dot(v, v).toDouble)
+      var bestCid = -1L
+      var bestCos = Double.NegativeInfinity
+      cents.foreach { case (cid, cv, cn) =>
+        val cos = dot(v, cv).toDouble / (vn * cn)
+        if (cos > bestCos) { bestCos = cos; bestCid = cid }
+      }
+      id -> bestCid
+    }.toMap
+    val got = Ann.ivfAssign(embeds, "vec_id", "embedding", 50)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("banded near-dup: wider recall than one narrow band, exact verify holds") {
+    val single = Ann.nearDupPairs(embeds, "vec_id", "embedding", 64,
+      1, 5, nBits = 18).as[(Long, Long)].collect().toSet
+    val banded = Ann.nearDupPairsBanded(embeds, "vec_id", "embedding", 64,
+      1, 5, bands = 3, bitsPerBand = 6).as[(Long, Long)].collect().toSet
+    // every emitted pair truly clears the exact threshold (verify stage)
+    val vecs = embeds.select($"vec_id".cast("long"),
+      Ann.quantize($"embedding")).as[(Long, Seq[Long])].collect().toMap
+    def dot(a: Seq[Long], b: Seq[Long]) = a.zip(b).map(p => p._1 * p._2).sum
+    banded.foreach { case (a, b) =>
+      val (va, vb) = (vecs(a), vecs(b))
+      val d = dot(va, vb)
+      assert(d > 0 && d * d * 25L >= dot(va, va) * dot(vb, vb),
+        s"pair ($a,$b) below threshold")
+    }
+    // 3 bands recover recall a single over-sharp signature loses
+    assert(banded.size >= single.size)
+  }
+
+  test("LSH bucket count scales with N (chooseBits + width shrinks)") {
+    assert(Ann.chooseBits(500, 100) == 8) // floor
+    assert(Ann.chooseBits(1L << 30, 1000) == 21) // ceil(log2(2^30/1000))
+    assert(Ann.chooseBits(1L << 60, 1) == 24) // cap
+    // deterministic skewed corpus: 25% clustered + spread remainder
+    val n = 2000
+    val skew = (0 until n).map { i =>
+      val base = if (i % 4 == 0) Array.fill(16)(0.9f)
+      else Array.tabulate(16)(d => (((i * 31 + d * 17) % 13) - 6) / 6.0f)
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    def maxBucket(bits: Int): Long = skew
+      .select(Ann.lshBucket(Ann.quantize($"embedding"), 16, bits).as("b"))
+      .groupBy("b").count().agg(max("count")).as[Long].head()
+    val w8 = maxBucket(8)
+    val w12 = maxBucket(12)
+    assert(w12 <= w8, s"12-bit max bucket $w12 > 8-bit $w8")
+    // identical vectors always collide — banding, not bits, bounds that
+    // (the clustered 25% is one bucket at any width); the SPREAD mass
+    // must shard: exclude the planted cluster and require real shrink
+    assert(w12 <= math.max(n / 4, w8 / 2),
+      s"spread mass did not shard: w8=$w8 w12=$w12")
+  }
+
   test("media decode plumbing: row-preserving, deterministic, dim-correct") {
     val media = Media.mediaTable(docs, "doc_id", "text")
     val f1 = Media.extractFeatures(media, new Media.StubDecoder(8))
