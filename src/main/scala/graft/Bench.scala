@@ -26,9 +26,21 @@ object Bench {
     import spark.implicits._
     val spec = Corpus.Spec(nDocs = nDocs, nHosts = 1000, maxLinks = 10,
       hotHostPct = 20)
-    val corpusDir = java.nio.file.Files
-      .createTempDirectory("graft-bench-corpus").toString
-    // corpus write is setup, not timed
+    // fixed work base, wiped per run: repeated bench invocations would
+    // otherwise accumulate tens of GB of round checkpoints in /tmp
+    val base = java.nio.file.Paths.get("/tmp/graft-bench-work")
+    if (java.nio.file.Files.isDirectory(base)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(base)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+    java.nio.file.Files.createDirectories(base)
+    val corpusDir = s"$base/corpus"
+    // corpus write is setup, not timed; round fetch joins re-read it from
+    // the OS page cache (the real system's fetch is network I/O, not a
+    // table scan — the stand-in must not be charged cold-disk rescans)
     Corpus.docs(spark, spec)
       .repartition(partitions)
       .write.mode("overwrite").parquet(corpusDir)
@@ -40,14 +52,20 @@ object Bench {
       defaultHostBudget = Int.MaxValue, frontierPartitions = partitions,
       bloomShards = 8, bloomExpectedItems = 2000000L, bloomFpp = 0.03,
       // throughput run: skip per-bucket lineage hashes (manifests keep
-      // exact row counts; the stats read-back doubles round I/O)
-      lineageStats = false)
-    val work = java.nio.file.Files.createTempDirectory("graft-bench").toString
+      // exact row counts; the stats read-back doubles round I/O) and the
+      // DFS path key (dead weight in FIFO mode)
+      lineageStats = false, trackPath = false)
+    val work = s"$base/crawl"
     val router = Router(Map("page" -> Handler.linkFollower()),
       fallback = Handler.linkFollower())
     val t0 = System.nanoTime()
     val r = CrawlEngine.run(spark, docs, seeds, robots.toDS(), router, cfg, work)
     val secs = (System.nanoTime() - t0) / 1e9
+    if (sys.env.get("SPARK_GRAFT_BENCH_VERBOSE").contains("1"))
+      r.metrics.foreach(m => System.err.println(
+        s"[round ${m.round}] frontier=${m.frontierRows} " +
+          s"scheduled=${m.scheduledRows} children=${m.emittedChildren} " +
+          s"wall=${m.wallMs}ms"))
     (r.totalScheduled, secs, r.totalScheduled / secs)
   }
 

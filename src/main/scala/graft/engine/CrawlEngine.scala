@@ -146,7 +146,15 @@ object CrawlEngine {
       workDir: String,
       startRound: Int = 0,
       resumeState: Option[ResumeState] = None,
-      fetcher: Option[Fetcher] = None
+      fetcher: Option[Fetcher] = None,
+      /** Cooperative cancellation (F8, reference CancellationToken ->
+        * AbortHandle.abort, runner.rs:86-88,131-144): polled at each round
+        * boundary; when true the crawl stops AFTER the last completed
+        * round's manifest commit, so the stop is always resumable. Rounds
+        * are the engine's atomic unit — mid-round state is never exposed,
+        * which is what makes "stop anywhere, resume exactly" possible.
+        */
+      stopSignal: () => Boolean = () => false
   ): RunResult = {
     import spark.implicits._
     val theFetcher = fetcher.getOrElse(new JoinFetcher(docs))
@@ -205,8 +213,16 @@ object CrawlEngine {
           Int.MaxValue / 2
     }
 
+    // adaptive bucket count: layout tracks round size (see
+    // CrawlConfig.rowsPerBucket); capped by frontierPartitions, the
+    // 10^10-scale knob
+    def bucketsFor(rows: Long): Int =
+      if (cfg.rowsPerBucket <= 0) cfg.frontierPartitions
+      else math.max(1, math.min(cfg.frontierPartitions.toLong,
+        (rows + cfg.rowsPerBucket - 1) / cfg.rowsPerBucket)).toInt
+
     var frontierCount = frontier.count()
-    while (frontierCount > 0 && round < cfg.maxRounds) {
+    while (frontierCount > 0 && round < cfg.maxRounds && !stopSignal()) {
       val t0 = System.nanoTime()
 
       // 1. defer enforcement (engine mode only; reference records but
@@ -272,7 +288,7 @@ object CrawlEngine {
         broadcastOffsets = frontierCount < 1000000L)
       val schedStat = TableIO.writeRound(
         scheduled, workDir, "scheduled", round, "urlHash",
-        cfg.frontierPartitions, cfg.lineageStats)
+        bucketsFor(frontierCount), cfg.lineageStats)
       val scheduledBack = TableIO.readRound(spark, workDir, "scheduled", round)
       val scheduledCount = schedStat.rows
 
@@ -314,7 +330,7 @@ object CrawlEngine {
         lit(round).as("round"),
         size(filter(col("spans"), s => s("kind") === "link")).as("n_links"))
       TableIO.writeRoundLite(trace, workDir, "trace", round, "urlHash",
-        cfg.frontierPartitions, scheduledCount)
+        bucketsFor(scheduledCount), scheduledCount)
       val records = routed.filter(col("status") === 200).select(
         col("canonical").as("url"),
         get(filter(col("spans"), s => s("kind") === "text"), lit(0))
@@ -325,7 +341,7 @@ object CrawlEngine {
         lit(round).as("scrapedRound"),
         col("urlHash"))
       TableIO.writeRoundLite(records, workDir, "records", round, "urlHash",
-        cfg.frontierPartitions, n200)
+        bucketsFor(n200), n200)
 
       // 8. defer ledger update from outcomes (apply_defer semantics:
       //    notBefore[key] = max(existing, now) + d, in round units).
@@ -381,10 +397,12 @@ object CrawlEngine {
           lit(round + 1).as("discoveryRound"),
           col("parentSeq"),
           col("c.emissionIdx").as("emissionIdx"),
-          concat(col("_ppath"),
-            // LIFO stack pops last-emitted first: sibling order key is
-            // -emissionIdx (SURVEY §3.4); FIFO ignores path.
-            array((lit(0L) - col("c.emissionIdx")).cast("long"))).as("path"))
+          (if (cfg.trackPath)
+            concat(col("_ppath"),
+              // LIFO stack pops last-emitted first: sibling order key is
+              // -emissionIdx (SURVEY §3.4); FIFO ignores path.
+              array((lit(0L) - col("c.emissionIdx")).cast("long")))
+          else array().cast("array<long>")).as("path"))
         .filter(col("canonical").isNotNull && col("depth") <= cfg.maxDepth)
         .withColumn("urlHash", Canon.urlHash(col("canonical")))
         .withColumn("host", Canon.host(col("canonical")))
@@ -402,10 +420,12 @@ object CrawlEngine {
         col("urlHash"), col("canonical"),
         col("seq").as("firstSeq"), lit(round).as("round"))
 
+      // children typically outnumber scheduled by the mean out-degree;
+      // cheap proxy (exact count not yet known): scheduled x 8
       val frontStat = TableIO.writeRound(nextFrontier, workDir, "frontier",
-        round, "urlHash", cfg.frontierPartitions, cfg.lineageStats)
+        round, "urlHash", bucketsFor(scheduledCount * 8), cfg.lineageStats)
       val seenStat = TableIO.writeRound(newSeen, workDir, "seen", round,
-        "urlHash", cfg.frontierPartitions, cfg.lineageStats)
+        "urlHash", bucketsFor(scheduledCount), cfg.lineageStats)
 
       // crawl-delay ledger update: every delay-host scheduled this round
       // gets notBefore = max(existing, now) + d (runner.rs:289-306)
@@ -425,7 +445,7 @@ object CrawlEngine {
       // delta-union fan-in; read path picks the snapshot automatically
       if (compactNow) {
         TableIO.compactDeltas(spark, workDir, "seen", round, "urlHash",
-          cfg.frontierPartitions)
+          bucketsFor(nextSeq + scheduledCount))
       }
 
       if (cfg.dedup && cfg.useBloomPrefilter) {

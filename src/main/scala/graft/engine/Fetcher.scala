@@ -32,7 +32,7 @@ trait Fetcher extends Serializable {
   *   hits   = docs ⋈ broadcast(scheduled)   (inner, build = scheduled)
   *   misses = scheduled ⟕̸ hits              (small ⋈ small)
   */
-class JoinFetcher(docs: DataFrame, broadcastMax: Long = 3000000L)
+class JoinFetcher(docs: DataFrame, broadcastMax: Long = 500000L)
     extends Fetcher {
   private val roundCaches =
     scala.collection.mutable.ListBuffer.empty[DataFrame]

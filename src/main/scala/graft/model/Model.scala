@@ -171,5 +171,17 @@ case class CrawlConfig(
     /** per-bucket row counts + content hashes in the round manifest. At
       * 10^10-row rounds the stats read-back doubles round I/O — disable
       * for throughput runs; manifests still carry exact row counts. */
-    lineageStats: Boolean = true
+    lineageStats: Boolean = true,
+    /** carry the LIFO/DFS ordering key (`path` array<long>, grows one
+      * element per depth) through frontier/trace. Only needed when the DFS
+      * order is being reported — in FIFO production crawls it is dead
+      * weight on every frontier/trace row; disable to cut round I/O. */
+    trackPath: Boolean = true,
+    /** target rows per hash bucket when writing round tables: the bucket
+      * count ADAPTS to round size, capped at frontierPartitions. Crawl
+      * rounds span orders of magnitude (10^3 seeds -> 10^7+ steady state);
+      * a fixed count is wrong at both ends — tiny rounds pay per-file +
+      * per-task overhead, huge rounds underpartition. 0 disables
+      * (always frontierPartitions). */
+    rowsPerBucket: Long = 250000L
 )

@@ -120,6 +120,15 @@ object PipelineQueries {
       Ann.ivfAssign(embeddings(s, dir), "vec_id", "embedding", stride = 50)
         .orderBy("id")),
 
+    // IVF SEARCH: probe only the query's inverted list, exact in-list
+    // top-k (one scan, zero self-joins/shuffles)
+    "q_ivf_search" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(Ann.quantize(col("embedding")).as("qvec"))
+      Ann.ivfSearch(e, "vec_id", "embedding", q, stride = 50, k = 10)
+    }),
+
     "q_embed_neardup" -> ((s, dir) =>
       Ann.nearDupPairs(embeddings(s, dir), "vec_id", "embedding", 64,
         thrNum = 1, thrDen = 5, nBits = 8)
@@ -307,6 +316,21 @@ object PipelineQueries {
                      ORDER BY ${cosSql("v.v", "c.cv")} DESC, c.cid ASC) AS rk
                  FROM v CROSS JOIN c)
           SELECT id, cid FROM sc WHERE rk = 1 ORDER BY id""",
+
+    "q_ivf_search" ->
+      s"""WITH v AS (SELECT vec_id, $qvSql AS v FROM embeddings),
+          c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id % 50 = 0),
+          sc AS (SELECT v.vec_id AS id, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY ${cosSql("v.v", "c.cv")} DESC, c.cid ASC) AS rk
+                 FROM v CROSS JOIN c),
+          asg AS (SELECT id, cid FROM sc WHERE rk = 1),
+          q AS (SELECT cid AS qcid FROM asg WHERE id = 0),
+          qv AS (SELECT v AS qvec FROM v WHERE vec_id = 0)
+          SELECT a.id, ${cosSql("v.v", "qv.qvec")} AS cosine
+          FROM asg a JOIN v ON v.vec_id = a.id CROSS JOIN q CROSS JOIN qv
+          WHERE a.cid = q.qcid
+          ORDER BY cosine DESC, id ASC LIMIT 10""",
 
     "q_embed_neardup" ->
       s"""WITH v0 AS (SELECT vec_id, $qvSql AS v FROM embeddings),

@@ -112,31 +112,67 @@ object Ann {
     * same driver-side cost any IVF trainer pays.
     */
   def ivfAssign(vecs: DataFrame, idCol: String, vecCol: String,
-      stride: Int): DataFrame = {
-    val v = vecs.select(col(idCol).cast("long").as("id"),
-      quantize(col(vecCol)).as("v"))
-    // (cid, centroid vector, precomputed sqrt(|c|^2)) in cid order: the
-    // strict-> fold keeps the FIRST max, i.e. the lowest cid on ties —
-    // same tie-break as rank by (cos desc, cid asc)
-    val cents = v.filter(col("id") % stride === 0).orderBy(col("id"))
+      stride: Int): DataFrame =
+    assigned(vecs, idCol, vecCol, stride).select(col("id"), col("cid"))
+
+  /** (cid, centroid vector, precomputed sqrt(|c|^2)) in cid order: the
+    * strict-> fold keeps the FIRST max, i.e. the lowest cid on ties —
+    * same tie-break as rank by (cos desc, cid asc).
+    */
+  private def collectCentroids(v: DataFrame, stride: Int): Seq[(Long, Seq[Long], Double)] =
+    v.filter(col("id") % stride === 0).orderBy(col("id"))
       .collect()
       .map { r =>
         val cv = r.getSeq[Long](1).toSeq
         (r.getLong(0), cv, math.sqrt(cv.map(x => x * x).sum.toDouble))
       }.toSeq
-    val centLit = typedlit(cents)
-    // hoist the row norm into its own projection: referenced by Column
-    // inside the fold it would re-expand (and re-compute) per centroid
-    val withNorm = v.withColumn("vn", sqrt(norm2Q(col("v")).cast("double")))
-    val best = aggregate(
+
+  /** Argmax-cosine centroid id of `vCol` over the centroid literal, given
+    * a pre-hoisted row norm `vnCol` (referenced by Column inside the fold,
+    * an inline norm would re-expand and re-compute per centroid).
+    */
+  private def argmaxCid(centLit: Column, vCol: Column, vnCol: Column): Column =
+    aggregate(
       centLit,
       struct(lit(-1L).as("cid"), lit(Double.NegativeInfinity).as("cos")),
       (acc, c) => {
-        val cos = dotQ(col("v"), c("_2")).cast("double") / (col("vn") * c("_3"))
+        val cos = dotQ(vCol, c("_2")).cast("double") / (vnCol * c("_3"))
         when(cos > acc("cos"),
           struct(c("_1").as("cid"), cos.as("cos"))).otherwise(acc)
-      })
-    withNorm.select(col("id"), best.getField("cid").as("cid"))
+      }).getField("cid")
+
+  /** (id, v, cid) — assignment with the quantized vector retained. */
+  private def assigned(vecs: DataFrame, idCol: String, vecCol: String,
+      stride: Int): DataFrame = {
+    val v = vecs.select(col(idCol).cast("long").as("id"),
+      quantize(col(vecCol)).as("v"))
+    val centLit = typedlit(collectCentroids(v, stride))
+    v.withColumn("vn", sqrt(norm2Q(col("v")).cast("double")))
+      .withColumn("cid", argmaxCid(centLit, col("v"), col("vn")))
+      .select(col("id"), col("v"), col("cid"))
+  }
+
+  /** IVF search: assign all vectors, probe ONLY the query's inverted list
+    * (its argmax centroid's vectors), exact top-k within the list. The
+    * probe is a partition-local filter + global top-k
+    * (TakeOrderedAndProject) — the corpus is scanned once, never joined
+    * against itself, never shuffled.
+    */
+  def ivfSearch(vecs: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, stride: Int, k: Int): DataFrame = {
+    val asg = assigned(vecs, idCol, vecCol, stride)
+    val q = broadcast(query
+      .withColumn("qn", sqrt(norm2Q(col("qvec")).cast("double")))
+      .withColumn("qcid",
+        argmaxCid(typedlit(collectCentroids(
+          vecs.select(col(idCol).cast("long").as("id"),
+            quantize(col(vecCol)).as("v")), stride)),
+          col("qvec"), col("qn")))
+      .select(col("qvec"), col("qcid")))
+    asg.join(q, col("cid") === col("qcid"))
+      .select(col("id"), cosineQ(col("v"), col("qvec")).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
   }
 
   /** Embedding near-duplicate pairs: exact integer-cosine >= num/den

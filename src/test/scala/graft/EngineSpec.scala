@@ -277,6 +277,28 @@ class EngineSpec extends SparkTestBase {
     assert(plain.sortBy(_.seq).toSeq == salted.sortBy(_.seq).toSeq)
   }
 
+  test("cooperative stop (F8): stops at round boundary, resume completes") {
+    val robots = Corpus.robotsLocal(spec, hostBudget = 3)
+    val base = CrawlConfig(maxRounds = 5, maxDepth = 4,
+      defaultHostBudget = 3, frontierPartitions = 4,
+      bloomExpectedItems = 10000L)
+    val dirA = SparkTestBase.tmpDir("stop-straight")
+    val straight = CrawlEngine.run(spark, docsDf, seeds, robots.toDS(),
+      router, base, dirA)
+    val dirB = SparkTestBase.tmpDir("stop-coop")
+    // signal trips once 2 rounds are durably committed
+    val stopped = CrawlEngine.run(spark, docsDf, seeds, robots.toDS(),
+      router, base, dirB,
+      stopSignal = () => TableIO.latestCompletedRound(dirB) >= 1)
+    assert(stopped.rounds == 2, s"stopped after ${stopped.rounds} rounds")
+    val resumed = CrawlEngine.resume(spark, docsDf, seeds, robots.toDS(),
+      router, base, dirB)
+    def key(r: CrawlEngine.RunResult) = r.trace(spark)
+      .select($"seq", $"url", $"depth").as[(Long, String, Int)]
+      .collect().sortBy(_._1).toSeq
+    assert(key(straight) == key(resumed))
+  }
+
   test("manifest lineage: per-bucket stats present and complete") {
     val cfg = CrawlConfig(maxRounds = 2, maxDepth = 3,
       frontierPartitions = 4, bloomExpectedItems = 10000L)
