@@ -80,6 +80,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // the crawl's heavy rounds are disk-bound while cores idle (see
+      // BENCH/BASELINE.md §0): trade spare CPU for bytes on both the
+      // checkpoint and shuffle paths
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "zstd"))
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "zstd"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -111,6 +111,36 @@ object TextDedup {
       lit(0L), (acc, x) => acc + x)
   }
 
+  /** SimHash near-duplicate pairs via hamming banding: the 32-bit hash
+    * splits into 4 disjoint bytes; by pigeonhole, hamming distance <= 3
+    * implies AT LEAST one byte is equal, so the band-bucket self-join
+    * (4 keys per doc) finds every such pair without an all-pairs scan —
+    * same candidate-then-verify architecture as MinHash banding. The
+    * verify stage is exact: bit_count(xor) <= maxHamming.
+    * (maxHamming > 3 trades recall; the 4-byte split guarantees full
+    * recall only up to 3.)
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val s = docs.repartition(par)
+      .select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = array((0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        (shiftright(col("sh"), 8 * b) % 256).as("key"))): _*)
+    val keyed = s.select(col("id"), col("sh"), explode(bands).as("bb"))
+      .select(col("id"), col("sh"),
+        col("bb.band").as("band"), col("bb.key").as("key"))
+    val l = keyed.as("l")
+    val r = keyed.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key")
+        && col("l.id") < col("r.id"))
+      .filter(bit_count(col("l.sh").bitwiseXOR(col("r.sh"))) <= maxHamming)
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+  }
+
   /** Exact-duplicate groups by normalized fingerprint: keep the lowest id
     * as canonical, report group size.
     */

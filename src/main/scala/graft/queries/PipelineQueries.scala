@@ -44,6 +44,24 @@ object PipelineQueries {
     s"CAST(list_sum([$a[i] * $b[i] for i in range(1, 65)]) AS BIGINT)"
   private def hyperLit(j: Int): String =
     Ann.hyper(j, 64).mkString("[", ", ", "]")
+  /** Shared simhash CTE chain over `src(doc_id, text)`; final CTE `sh`
+    * has (doc_id, sh). Kept in one place so q_simhash and q_simhash_pairs
+    * cannot drift.
+    */
+  private def simhashCte(src: String): String = {
+    val sums = (0 until 32).map(i =>
+      s"SUM(CASE WHEN (th >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s_$i")
+      .mkString(", ")
+    val bits = (0 until 32).map(i =>
+      s"(CASE WHEN s_$i >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""toks AS (
+          SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM $src),
+        hx AS (SELECT doc_id, ${strHashSql("tok")} AS th FROM toks),
+        bs AS (SELECT doc_id, $sums FROM hx GROUP BY doc_id),
+        sh AS (SELECT doc_id, ($bits) AS sh FROM bs)"""
+  }
+
   private def bucketSqlB(v: String, offset: Int, bits: Int): String =
     (0 until bits).map { j =>
       s"(CASE WHEN ${dotSql(v, s"(${hyperLit(offset + j)})")} >= 0 THEN ${1L << j} ELSE 0 END)"
@@ -84,6 +102,22 @@ object PipelineQueries {
     "q_simhash" -> ((s, dir) =>
       documents(s, dir).select(col("doc_id"),
         TextDedup.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+
+    // SimHash near-dup pairs: 4-byte hamming banding (full recall <= 3)
+    // + exact bit_count verify, over the corpus plus planted duplicates
+    "q_simhash_pairs" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = d.unionByName(d.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      TextDedup.simhashPairs(planted, "doc_id", "text", maxHamming = 3)
+        .orderBy("a", "b")
+    }),
+
+    // BPE-ish subword counting (token-budget estimation proxy)
+    "q_token_bpe" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        TextOps.subwordCount(col("text")).as("n_subwords"))
         .orderBy("doc_id")),
 
     "q_minhash_pairs" -> ((s, dir) =>
@@ -241,20 +275,33 @@ object PipelineQueries {
             count(*) AS group_size
           FROM documents GROUP BY 1 ORDER BY fp""",
 
-    "q_simhash" -> {
-      val sums = (0 until 32).map(i =>
-        s"SUM(CASE WHEN (th >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s_$i")
-        .mkString(", ")
-      val bits = (0 until 32).map(i =>
-        s"(CASE WHEN s_$i >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH toks AS (
-            SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
-            FROM documents),
-          h AS (SELECT doc_id, ${strHashSql("tok")} AS th FROM toks),
-          b AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
-          SELECT doc_id, ($bits) AS simhash FROM b ORDER BY doc_id"""
+    "q_simhash" ->
+      s"""WITH ${simhashCte("documents")}
+          SELECT doc_id, sh AS simhash FROM sh ORDER BY doc_id""",
+
+    "q_simhash_pairs" -> {
+      val bandEq = (0 until 4).map(b =>
+        s"((l.sh >> ${8 * b}) & 255) = ((r.sh >> ${8 * b}) & 255)")
+        .mkString(" OR ")
+      s"""WITH planted AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000 AS doc_id, text FROM documents
+            WHERE doc_id < 30),
+          ${simhashCte("planted")}
+          SELECT l.doc_id AS a, r.doc_id AS b
+          FROM sh l JOIN sh r ON l.doc_id < r.doc_id AND ($bandEq)
+          WHERE bit_count(xor(l.sh, r.sh)) <= 3
+          ORDER BY a, b"""
     },
+
+    "q_token_bpe" ->
+      s"""SELECT doc_id,
+            CAST(coalesce(list_sum(
+              [(len(p) + 3) // 4 for p in
+               regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+')]
+            ), 0) AS BIGINT) AS n_subwords
+          FROM documents ORDER BY doc_id""",
 
     "q_minhash_pairs" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -82,6 +82,22 @@ object TextOps {
     safe(alpha, nChars) + safe(stops, nTok) + safe(nUniq, nTok)
   }
 
+  /** BPE-ish subword segmentation: lowercase, split into character-class
+    * runs (letters / digits / punct — the pre-tokenization regex every
+    * BPE implementation applies), then charge ceil(len/maxPiece) units
+    * per run — a fixed-size-merge approximation of learned merges that
+    * needs no vocabulary, stays a pure codegen'd expression, and is
+    * reproducible bit-for-bit in any SQL engine (token-budget estimation
+    * at corpus scale does not need the real tokenizer, it needs a cheap
+    * deterministic proxy).
+    */
+  def subwordPieces(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]+"), lit(0))
+
+  def subwordCount(text: Column, maxPiece: Int = 4): Column =
+    aggregate(subwordPieces(text), lit(0L),
+      (acc, p) => acc + floor((length(p) + maxPiece - 1) / maxPiece).cast("long"))
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))

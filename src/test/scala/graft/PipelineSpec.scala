@@ -71,6 +71,32 @@ class PipelineSpec extends SparkTestBase {
     assert(dist > 0)
   }
 
+  test("simhash pairs: planted copies found, every pair verifies <= maxHamming") {
+    val base = docs.limit(40).select($"doc_id", $"text")
+    val planted = base.unionByName(docs.limit(10).select(
+      ($"doc_id" + 5000).as("doc_id"), $"text"))
+    val pairs = TextDedup.simhashPairs(planted, "doc_id", "text", 3)
+      .as[(Long, Long)].collect().toSet
+    (0 until 10).foreach(i =>
+      assert(pairs.contains((i.toLong, i + 5000L)), s"missing planted pair $i"))
+    val sh = planted.select($"doc_id",
+      TextDedup.simhash($"text")).as[(Long, Long)].collect().toMap
+    pairs.foreach { case (a, b) =>
+      assert(java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 3, s"($a,$b) too far")
+    }
+  }
+
+  test("subword count: BPE-ish run segmentation, ceil(len/4) per run") {
+    val cases = Seq(
+      ("hello world", 4L),      // 2 runs of 5 chars -> 2+2
+      ("a b2c!", 5L),           // a | b | 2 | c | ! -> 5 single-char runs
+      ("Internationalization", 5L), // one 20-char run -> ceil(20/4)
+      ("", 0L))
+    val got = cases.map(_._1).toDF("text")
+      .select(graft.text.TextOps.subwordCount($"text")).as[Long].collect().toSeq
+    assert(got == cases.map(_._2), s"got $got")
+  }
+
   test("brute-force ANN: query's own vector is rank-1 with cosine 1.0") {
     val q = embeds.filter($"vec_id" === 7)
       .select(Ann.quantize($"embedding").as("qvec"))
