@@ -95,6 +95,21 @@ object PipelineQueries {
         TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // winnowing (rolling-hash) fingerprints: count + sum digest per doc.
+    // STAGED projections (norm -> hashes -> mins): each stage's output is
+    // a materialized column, never an expression re-inlined inside the
+    // next stage's lambdas (TextOps staging contract)
+    "q_winnow" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"), TextOps.winnowNorm(col("text")).as("_norm"))
+        .select(col("doc_id"),
+          TextOps.winnowHashes(col("_norm"), k = 5).as("_hs"))
+        .select(col("doc_id"), TextOps.winnowMins(col("_hs"), w = 4).as("_fp"))
+        .select(col("doc_id"),
+          size(col("_fp")).as("n_fp"),
+          aggregate(col("_fp"), lit(0L), (a, x) => a + x).as("fp_sum"))
+        .orderBy("doc_id")),
+
     "q_dedup_exact" -> ((s, dir) =>
       TextDedup.exactDupGroups(documents(s, dir), "doc_id", "text")
         .orderBy("fp")),
@@ -268,6 +283,33 @@ object PipelineQueries {
       s"""SELECT doc_id,
             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
           FROM documents ORDER BY doc_id""",
+
+    "q_winnow" ->
+      s"""WITH nm AS (
+            SELECT doc_id,
+              regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
+            FROM documents),
+          gr AS (
+            SELECT doc_id,
+              CASE WHEN len(norm) >= 5
+                THEN [substr(norm, i, 5) for i in range(1, len(norm) - 3)]
+                ELSE [norm] END AS grams,
+              len(norm) AS n FROM nm),
+          hx AS (
+            SELECT doc_id, n,
+              [${strHashSql("g")} % $P for g in grams] AS hs FROM gr),
+          mn AS (
+            SELECT doc_id, n,
+              CASE WHEN len(hs) >= 4
+                THEN [list_min(hs[j:j+3]) for j in range(1, len(hs) - 2)]
+                ELSE [list_min(hs)] END AS mins FROM hx),
+          fp AS (
+            SELECT doc_id,
+              CASE WHEN n = 0 THEN CAST([] AS BIGINT[])
+                ELSE list_sort(list_distinct(mins)) END AS fp FROM mn)
+          SELECT doc_id, CAST(len(fp) AS INT) AS n_fp,
+            CAST(coalesce(list_sum(fp), 0) AS BIGINT) AS fp_sum
+          FROM fp ORDER BY doc_id""",
 
     "q_dedup_exact" ->
       s"""SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,

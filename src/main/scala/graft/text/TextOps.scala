@@ -102,6 +102,55 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    * normalize to an alphanumeric character stream, hash every k-gram,
+    * slide a window of w consecutive hashes keeping each window's MIN —
+    * the distinct selected hashes are the document's fingerprints. The
+    * winnowing guarantee: any shared substring of length >= k+w-1
+    * contributes at least one COMMON fingerprint to both documents, so
+    * fingerprint overlap detects partial/local duplication that the
+    * whole-document [[fingerprint]] hash cannot. Density ~ 2/(w+1).
+    * Pure array expressions (no explode/shuffle per doc); md5-derived
+    * hashes keep the DuckDB oracle bit-exact.
+    *
+    * STAGING CONTRACT: [[winnowHashes]] and [[winnowMins]] must be fed
+    * MATERIALIZED columns (attributes from a prior projection), never
+    * inline expression trees — an array expression referenced inside a
+    * per-element lambda is re-evaluated per element (no CSE across
+    * higher-order lambdas), turning the window pass into O(m^2) md5
+    * calls per document (same inlining trap as the round-1 canon tree).
+    */
+  def winnowNorm(text: Column): Column =
+    regexp_replace(lower(text), "[^a-z0-9]", "")
+
+  /** k-gram hash array of a materialized `norm` column. */
+  def winnowHashes(norm: Column, k: Int = 5): Column = {
+    val n = length(norm)
+    val grams = when(n >= k,
+      transform(sequence(lit(1), n - k + 1), i => norm.substr(i, lit(k))))
+      .otherwise(array(norm))
+    when(n === 0, typedlit(Seq.empty[Long]))
+      .otherwise(transform(grams, g => strHash(g) % P))
+  }
+
+  /** Distinct sorted window-min selection over a materialized hash-array
+    * column.
+    */
+  def winnowMins(hs: Column, w: Int = 4): Column = {
+    val mins = when(size(hs) >= w,
+      transform(sequence(lit(0), size(hs) - w),
+        j => array_min(slice(hs, j + 1, lit(w)))))
+      .otherwise(array(array_min(hs)))
+    when(size(hs) === 0, typedlit(Seq.empty[Long]))
+      .otherwise(sort_array(array_distinct(mins)))
+  }
+
+  /** One-shot form for tests/small inputs; production use is the staged
+    * three-projection pipeline (see the staging contract above).
+    */
+  def winnowSet(text: Column, k: Int = 5, w: Int = 4): Column =
+    winnowMins(winnowHashes(winnowNorm(text), k), w)
+
   /** Word n-gram shingles (distinct), the MinHash/Jaccard input unit. */
   def shingles(text: Column, n: Int): Column = {
     val t = tokens(text)

@@ -71,6 +71,26 @@ class PipelineSpec extends SparkTestBase {
     assert(dist > 0)
   }
 
+  test("winnowing: identical docs identical sets; shared substring shares fp") {
+    import graft.text.TextOps
+    val doc = "the quick brown fox jumps over the lazy dog near the river bank"
+    val partialCopy = "PREFIX words here " + doc + " and a different suffix"
+    val other = "completely unrelated content about astrophysics and quarks"
+    val df = Seq((1L, doc), (2L, doc), (3L, partialCopy), (4L, other))
+      .toDF("id", "text")
+    val fps = df.select($"id", TextOps.winnowSet($"text"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1) == fps(2)) // deterministic set
+    // winnowing guarantee: a shared substring >= k+w-1 chars yields at
+    // least one common fingerprint — here the whole of `doc` is shared
+    val overlap = fps(1).toSet.intersect(fps(3).toSet)
+    assert(overlap.nonEmpty, "no shared fingerprint for embedded copy")
+    assert(overlap.size * 2 > fps(1).size,
+      s"weak overlap ${overlap.size}/${fps(1).size} for a full embedding")
+    // unrelated docs share (essentially) nothing
+    assert(fps(1).toSet.intersect(fps(4).toSet).size < overlap.size)
+  }
+
   test("simhash pairs: planted copies found, every pair verifies <= maxHamming") {
     val base = docs.limit(40).select($"doc_id", $"text")
     val planted = base.unionByName(docs.limit(10).select(
