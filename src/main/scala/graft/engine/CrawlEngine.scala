@@ -46,6 +46,17 @@ object CrawlEngine {
     "url", "canonical", "urlHash", "host", "tag", "depth", "priority",
     "discoveryRound", "parentSeq", "emissionIdx", "path")
 
+  /** Sink-write pool: the four per-round outputs (trace, records, next
+    * frontier, seen delta) are independent reads of the PERSISTED fetch
+    * result, so their write jobs run concurrently — the round floor pays
+    * one write latency instead of four. Spark actions are thread-safe;
+    * the cache is fully populated by the (serial) metrics pass first, so
+    * no job recomputes the fetch.
+    */
+  private lazy val sinkEc = scala.concurrent.ExecutionContext.fromExecutor(
+    java.util.concurrent.Executors.newFixedThreadPool(4,
+      r => { val t = new Thread(r, "graft-sink"); t.setDaemon(true); t }))
+
   case class RunResult(
       rounds: Int,
       totalScheduled: Long,
@@ -321,7 +332,8 @@ object CrawlEngine {
       val fail = if (aggRow.isNullAt(1)) 0L else aggRow.getLong(1)
       val n200 = if (aggRow.isNullAt(2)) 0L else aggRow.getLong(2)
 
-      // 7. trace + records sink (S4: typed data sink -> parquet append)
+      // 7. trace + records sink (S4: typed data sink -> parquet append);
+      //    writes launched concurrently with the frontier/seen writes below
       val trace = routed.select(
         col("seq"), col("url"), col("canonical"), col("urlHash"),
         col("host"), col("tag"), col("depth"), col("priority"),
@@ -329,8 +341,6 @@ object CrawlEngine {
         col("status"), col("outcome.outcome").as("outcome"),
         lit(round).as("round"),
         size(filter(col("spans"), s => s("kind") === "link")).as("n_links"))
-      TableIO.writeRoundLite(trace, workDir, "trace", round, "urlHash",
-        bucketsFor(scheduledCount), scheduledCount)
       val records = routed.filter(col("status") === 200).select(
         col("canonical").as("url"),
         get(filter(col("spans"), s => s("kind") === "text"), lit(0))
@@ -340,8 +350,12 @@ object CrawlEngine {
         size(filter(col("spans"), s => s("kind") === "media")).as("nMedia"),
         lit(round).as("scrapedRound"),
         col("urlHash"))
-      TableIO.writeRoundLite(records, workDir, "records", round, "urlHash",
-        bucketsFor(n200), n200)
+      val fTrace = scala.concurrent.Future(
+        TableIO.writeRoundLite(trace, workDir, "trace", round, "urlHash",
+          bucketsFor(scheduledCount), scheduledCount))(sinkEc)
+      val fRecords = scala.concurrent.Future(
+        TableIO.writeRoundLite(records, workDir, "records", round, "urlHash",
+          bucketsFor(n200), n200))(sinkEc)
 
       // 8. defer ledger update from outcomes (apply_defer semantics:
       //    notBefore[key] = max(existing, now) + d, in round units).
@@ -422,10 +436,18 @@ object CrawlEngine {
 
       // children typically outnumber scheduled by the mean out-degree;
       // cheap proxy (exact count not yet known): scheduled x 8
-      val frontStat = TableIO.writeRound(nextFrontier, workDir, "frontier",
-        round, "urlHash", bucketsFor(scheduledCount * 8), cfg.lineageStats)
-      val seenStat = TableIO.writeRound(newSeen, workDir, "seen", round,
-        "urlHash", bucketsFor(scheduledCount), cfg.lineageStats)
+      val fFront = scala.concurrent.Future(
+        TableIO.writeRound(nextFrontier, workDir, "frontier",
+          round, "urlHash", bucketsFor(scheduledCount * 8),
+          cfg.lineageStats))(sinkEc)
+      val fSeen = scala.concurrent.Future(
+        TableIO.writeRound(newSeen, workDir, "seen", round,
+          "urlHash", bucketsFor(scheduledCount), cfg.lineageStats))(sinkEc)
+      import scala.concurrent.duration.Duration
+      val frontStat = scala.concurrent.Await.result(fFront, Duration.Inf)
+      val seenStat = scala.concurrent.Await.result(fSeen, Duration.Inf)
+      scala.concurrent.Await.result(fTrace, Duration.Inf)
+      scala.concurrent.Await.result(fRecords, Duration.Inf)
 
       // crawl-delay ledger update: every delay-host scheduled this round
       // gets notBefore = max(existing, now) + d (runner.rs:289-306)
