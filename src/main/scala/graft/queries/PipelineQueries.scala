@@ -169,6 +169,15 @@ object PipelineQueries {
       Ann.ivfAssign(embeddings(s, dir), "vec_id", "embedding", stride = 50)
         .orderBy("id")),
 
+    // IVF multi-probe: nprobe=3 nearest inverted lists (the recall knob)
+    "q_ivf_nprobe" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(Ann.quantize(col("embedding")).as("qvec"))
+      Ann.ivfSearchN(e, "vec_id", "embedding", q, stride = 50, k = 10,
+        nprobe = 3)
+    }),
+
     // IVF SEARCH: probe only the query's inverted list, exact in-list
     // top-k (one scan, zero self-joins/shuffles)
     "q_ivf_search" -> ((s, dir) => {
@@ -405,6 +414,26 @@ object PipelineQueries {
                      ORDER BY ${cosSql("v.v", "c.cv")} DESC, c.cid ASC) AS rk
                  FROM v CROSS JOIN c)
           SELECT id, cid FROM sc WHERE rk = 1 ORDER BY id""",
+
+    "q_ivf_nprobe" ->
+      s"""WITH v AS (SELECT vec_id, $qvSql AS v FROM embeddings),
+          c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id % 50 = 0),
+          sc AS (SELECT v.vec_id AS id, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY ${cosSql("v.v", "c.cv")} DESC, c.cid ASC) AS rk
+                 FROM v CROSS JOIN c),
+          asg AS (SELECT id, cid FROM sc WHERE rk = 1),
+          qv AS (SELECT v AS qvec FROM v WHERE vec_id = 0),
+          qc AS (SELECT cid FROM (
+                   SELECT c.cid,
+                     row_number() OVER (
+                       ORDER BY ${cosSql("c.cv", "qv.qvec")} DESC,
+                         c.cid ASC) AS rk
+                   FROM c CROSS JOIN qv) WHERE rk <= 3)
+          SELECT a.id, ${cosSql("v.v", "qv.qvec")} AS cosine
+          FROM asg a JOIN v ON v.vec_id = a.id CROSS JOIN qv
+          WHERE a.cid IN (SELECT cid FROM qc)
+          ORDER BY cosine DESC, id ASC LIMIT 10""",
 
     "q_ivf_search" ->
       s"""WITH v AS (SELECT vec_id, $qvSql AS v FROM embeddings),

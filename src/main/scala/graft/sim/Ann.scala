@@ -152,6 +152,34 @@ object Ann {
       .select(col("id"), col("v"), col("cid"))
   }
 
+  /** IVF search with multi-probe: scan the `nprobe` inverted lists whose
+    * centroids are closest to the query (the recall knob every IVF index
+    * exposes: nprobe=1 is fastest, nprobe=C is brute force). The query's
+    * centroid ranking is computed driver-side over the already-collected
+    * centroids — same integer dots + IEEE double cosine as the
+    * distributed path, so results are bit-identical to the SQL oracle.
+    */
+  def ivfSearchN(vecs: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, stride: Int, k: Int, nprobe: Int): DataFrame = {
+    val asg = assigned(vecs, idCol, vecCol, stride)
+    val qv = query.select(col("qvec")).collect()(0).getSeq[Long](0).toSeq
+    val qn = math.sqrt(qv.map(x => x * x).sum.toDouble)
+    val cents = collectCentroids(
+      vecs.select(col(idCol).cast("long").as("id"),
+        quantize(col(vecCol)).as("v")), stride)
+    val probed = cents
+      .map { case (cid, cv, cn) =>
+        (cid, qv.zip(cv).map(p => p._1 * p._2).sum.toDouble / (qn * cn))
+      }
+      .sortBy { case (cid, cos) => (-cos, cid) }
+      .take(nprobe).map(_._1)
+    asg.filter(col("cid").isin(probed: _*))
+      .crossJoin(broadcast(query.select(col("qvec"))))
+      .select(col("id"), cosineQ(col("v"), col("qvec")).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** IVF search: assign all vectors, probe ONLY the query's inverted list
     * (its argmax centroid's vectors), exact top-k within the list. The
     * probe is a partition-local filter + global top-k

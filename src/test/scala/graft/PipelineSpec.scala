@@ -215,6 +215,25 @@ class PipelineSpec extends SparkTestBase {
       s"spread mass did not shard: w8=$w8 w12=$w12")
   }
 
+  test("IVF nprobe: monotone recall; nprobe=all == brute force") {
+    val q = embeds.filter($"vec_id" === 7)
+      .select(Ann.quantize($"embedding").as("qvec"))
+    val brute = Ann.bruteForceTopK(embeds, "vec_id", "embedding", q, 10)
+      .as[(Long, Double)].collect().toSeq
+    val nCents = (embeds.count() / 50 + 1).toInt
+    val all = Ann.ivfSearchN(embeds, "vec_id", "embedding", q, 50, 10, nCents)
+      .as[(Long, Double)].collect().toSeq
+    assert(all == brute) // probing every list IS brute force
+    val one = Ann.ivfSearchN(embeds, "vec_id", "embedding", q, 50, 10, 1)
+      .as[(Long, Double)].collect().toSeq
+    val three = Ann.ivfSearchN(embeds, "vec_id", "embedding", q, 50, 10, 3)
+      .as[(Long, Double)].collect().toSeq
+    // recall is monotone in nprobe: results found at nprobe=1 with a
+    // cosine above three's floor must persist
+    assert(one.toSet.subsetOf(three.toSet ++ one.filter(_._2 < three.last._2)))
+    assert(one.head._1 == 7L) // own list contains self
+  }
+
   test("media decode plumbing: row-preserving, deterministic, dim-correct") {
     val media = Media.mediaTable(docs, "doc_id", "text")
     val f1 = Media.extractFeatures(media, new Media.StubDecoder(8))
