@@ -68,6 +68,91 @@ object StreamOps {
       }
   }
 
+  // ---- streaming frontier scheduler (continuous-crawl form) ----
+
+  /** A URL discovered on the unbounded frontier stream. */
+  case class Discovered(ts: Timestamp, url: String)
+
+  /** Per-host scheduler state carried across micro-batches: the host's
+    * seen canonical set (exact dedup) and its crawl-delay deadline.
+    */
+  case class HostSchedState(seen: Set[String], notBefore: Long)
+
+  /** One scheduling decision; action in
+    * {scheduled, duplicate, delayed, robots, invalid, over_budget}.
+    */
+  case class ScheduleDecision(host: String, url: String, canonical: String,
+      action: String)
+
+  /** Per-host robots config for the stream: disallow prefixes, crawl
+    * delay ms, per-micro-batch budget.
+    */
+  case class HostRules(disallow: Seq[String], crawlDelayMs: Long,
+      batchBudget: Int)
+
+  /** The CONTINUOUS form of the batch engine's round pipeline
+    * (canonicalize -> dedup -> robots -> crawl-delay -> budget), as a
+    * keyed state machine over the discovered-URL stream
+    * (`flatMapGroupsWithState`, update mode): the per-host state is the
+    * exact-seen set + the apply_defer deadline (runner.rs:289-306 rule),
+    * the per-batch budget is read_batch(n) (C4). Canonicalization is the
+    * SAME CanonCore the batch engine's fused expression calls — one
+    * implementation, two execution models.
+    *
+    * Events within a (batch, host) group are processed in (ts, url)
+    * order, so decisions are deterministic for a given batch sequence.
+    */
+  def scheduleStream(
+      urls: Dataset[Discovered],
+      rules: Map[String, HostRules],
+      defaultBudget: Int
+  ): Dataset[ScheduleDecision] = {
+    import urls.sparkSession.implicits._
+    urls
+      .map(d => (graft.canon.CanonCore.host(
+        Option(graft.canon.CanonCore.canonicalize(d.url)).getOrElse("")),
+        d))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HostSchedState, ScheduleDecision](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (host, rows, state: GroupState[HostSchedState]) =>
+          val r = rules.getOrElse(host, HostRules(Seq.empty, 0L, defaultBudget))
+          var st = state.getOption.getOrElse(HostSchedState(Set.empty, 0L))
+          var budget = math.min(r.batchBudget, defaultBudget)
+          def pathOf(c: String): String = {
+            val auth = c.indexOf("://") + 3
+            val slash = c.indexOf('/', auth)
+            if (slash < 0) "/" else c.substring(slash)
+          }
+          val out = rows.toSeq.map(_._2).sortBy(d => (d.ts.getTime, d.url))
+            .map { d =>
+              val canon = graft.canon.CanonCore.canonicalize(d.url)
+              val t = d.ts.getTime
+              val action =
+                if (canon == null) "invalid"
+                else if (st.seen.contains(canon)) "duplicate"
+                else if (r.disallow.exists(p =>
+                  p.nonEmpty && pathOf(canon).startsWith(p))) "robots"
+                else if (t < st.notBefore) "delayed"
+                else if (budget <= 0) "over_budget"
+                else {
+                  budget -= 1
+                  st = HostSchedState(st.seen + canon,
+                    if (r.crawlDelayMs > 0)
+                      math.max(st.notBefore, t) + r.crawlDelayMs
+                    else st.notBefore)
+                  "scheduled"
+                }
+              // duplicates are remembered too once scheduled; non-scheduled
+              // outcomes leave state untouched (they may retry later)
+              ScheduleDecision(host, d.url,
+                Option(canon).getOrElse(""), action)
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Batch-parity version of [[hostRates]] (same plan shape minus the
     * watermark) — used for oracle checks and to keep one definition of
     * the aggregation semantics.

@@ -36,6 +36,51 @@ class StreamingSpec extends SparkTestBase {
       h == "a.test" && req == 2 && fails == 1 })
   }
 
+  test("streaming frontier scheduler: dedup/delay/budget across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps.{Discovered, HostRules, ScheduleDecision}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[Discovered]
+    val rules = Map(
+      "slow.test" -> HostRules(Seq.empty, crawlDelayMs = 30000L, batchBudget = 10),
+      "tight.test" -> HostRules(Seq("/private"), 0L, batchBudget = 1))
+    val q = StreamOps.scheduleStream(src.toDS(), rules, defaultBudget = 100)
+      .toDF().writeStream.format("memory").queryName("sched")
+      .outputMode("update").start()
+
+    // batch 1: delay arms after the first slow.test URL; budget caps
+    // tight.test at 1; robots blocks /private
+    src.addData(
+      Discovered(ts(0, 0), "http://slow.test/a"),
+      Discovered(ts(0, 10), "http://slow.test/b"), // within 30s delay
+      Discovered(ts(0, 0), "HTTP://Tight.test:80/x"),
+      Discovered(ts(0, 1), "http://tight.test/y"), // over batch budget
+      Discovered(ts(0, 2), "http://tight.test/private/z"), // robots
+      Discovered(ts(0, 3), "not a url"))
+    q.processAllAvailable()
+    // batch 2: duplicate of a scheduled URL + a now-eligible slow.test URL
+    src.addData(
+      Discovered(ts(1, 0), "http://slow.test/a"), // cross-batch duplicate
+      Discovered(ts(1, 0), "http://slow.test/b"), // past the delay now
+      Discovered(ts(1, 0), "http://tight.test/y")) // budget reset per batch
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sched").as[ScheduleDecision].collect()
+      .map(d => (d.url, d.action)).toMap
+    assert(got("http://slow.test/a") == "duplicate") // batch-2 outcome (update mode)
+    assert(got("HTTP://Tight.test:80/x") == "scheduled")
+    assert(got("http://tight.test/private/z") == "robots")
+    assert(got("not a url") == "invalid")
+    // slow.test/b: delayed in batch 1, scheduled in batch 2
+    val bDecisions = spark.table("sched").as[ScheduleDecision].collect()
+      .filter(_.url == "http://slow.test/b").map(_.action).toSet
+    assert(bDecisions == Set("delayed", "scheduled"))
+    // tight.test/y: over_budget in batch 1, scheduled in batch 2
+    val yDecisions = spark.table("sched").as[ScheduleDecision].collect()
+      .filter(_.url == "http://tight.test/y").map(_.action).toSet
+    assert(yDecisions == Set("over_budget", "scheduled"))
+  }
+
   test("politeness state: notBefore = max(existing, now) + delay per host") {
     val src = events.toDS()
     // batch Dataset through the same mapGroupsWithState logic requires a
