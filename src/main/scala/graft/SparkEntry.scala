@@ -226,6 +226,26 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // LIFO/DFS crawl (C9; reference examples use InMemDataset::stack(),
+    // examples/basic_usage/main.rs:82): dedup-off walk enumeration whose
+    // DFS order is carried by the path key (SURVEY §3.4) — ranked
+    // identically by a DuckDB recursive CTE ordered by the same key
+    "q_crawl_dfs" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = docsAsCorpus(s, dir)
+      val seeds = Seq(Seed("http://s0.test/d/0", null, 0),
+        Seed("http://s1.test/d/1", null, 1))
+      val work = java.nio.file.Files.createTempDirectory("graft-dfs").toString
+      val cfg = CrawlConfig(maxRounds = 3, maxDepth = 3, lifo = true,
+        dedup = false, useBloomPrefilter = false, frontierPartitions = 8)
+      val r = CrawlEngine.run(s, corpus, seeds, s.emptyDataset[RobotsRule],
+        Router(Map.empty, fallback = Handler.linkFollower()), cfg, work)
+      import org.apache.spark.sql.expressions.Window
+      r.trace(s).select(col("canonical").as("url"), col("depth"),
+          row_number().over(Window.orderBy(col("path"))).as("dfs_seq"))
+        .orderBy("dfs_seq")
+    }),
+
     // FlowControl conversion matrix (flow_control.rs:117-191 semantics)
     "q_flowcontrol" -> ((s, dir) => {
       val d = documents(s, dir).select(col("doc_id"),
@@ -348,6 +368,26 @@ object SparkEntry {
            WHERE b.depth + 1 <= 4)
          SELECT ${cleanUrlSql("id")} AS url, CAST(min(depth) AS INT) AS depth
          FROM bfs GROUP BY id ORDER BY url"""
+    },
+
+    "q_crawl_dfs" -> {
+      val n = "(SELECT count(*) FROM documents)"
+      val edges = edgeMults.zipWithIndex.map { case ((m, a), ix) =>
+        s"""SELECT doc_id AS src, (doc_id * $m + $a) % $n AS dst,
+              $ix AS ix FROM documents"""
+      }.mkString(" UNION ALL ")
+      s"""WITH RECURSIVE edges AS ($edges),
+          walks(id, depth, path) AS (
+            SELECT id, 1, [CAST(id AS BIGINT)]
+            FROM (VALUES (0), (1)) v(id)
+            UNION ALL
+            SELECT e.dst, w.depth + 1,
+              list_append(w.path, CAST(-e.ix AS BIGINT))
+            FROM walks w JOIN edges e ON e.src = w.id
+            WHERE w.depth + 1 <= 3)
+          SELECT ${cleanUrlSql("id")} AS url, CAST(depth AS INT) AS depth,
+            CAST(row_number() OVER (ORDER BY path) AS INT) AS dfs_seq
+          FROM walks ORDER BY dfs_seq"""
     },
 
     "q_flowcontrol" ->
