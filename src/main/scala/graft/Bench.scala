@@ -37,14 +37,15 @@ object Bench {
       finally walk.close()
     }
     java.nio.file.Files.createDirectories(base)
-    val corpusDir = s"$base/corpus"
-    // corpus write is setup, not timed; round fetch joins re-read it from
-    // the OS page cache (the real system's fetch is network I/O, not a
-    // table scan — the stand-in must not be charged cold-disk rescans)
+    // corpus write is setup, not timed. Written as a BUCKETED table
+    // (CLUSTERED BY doc_id) so large-round fetch joins are exchange-free
+    // on the corpus side (BucketedJoinFetcher) — the 100TB layout.
     Corpus.docs(spark, spec)
       .repartition(partitions)
-      .write.mode("overwrite").parquet(corpusDir)
-    val docs = spark.read.parquet(corpusDir)
+      .write.mode("overwrite")
+      .bucketBy(64, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable("graft_corpus")
+    val docs = spark.table("graft_corpus")
     val seeds = (0 until 1000).map(j =>
       Seed(Corpus.url(j.toLong * 97 % nDocs, spec), "page", j))
     val robots = Corpus.robotsLocal(spec, hostBudget = Int.MaxValue)
@@ -58,8 +59,10 @@ object Bench {
     val work = s"$base/crawl"
     val router = Router(Map("page" -> Handler.linkFollower()),
       fallback = Handler.linkFollower())
+    val fetcher = new graft.engine.BucketedJoinFetcher("graft_corpus", 64)
     val t0 = System.nanoTime()
-    val r = CrawlEngine.run(spark, docs, seeds, robots.toDS(), router, cfg, work)
+    val r = CrawlEngine.run(spark, docs, seeds, robots.toDS(), router, cfg,
+      work, fetcher = Some(fetcher))
     val secs = (System.nanoTime() - t0) / 1e9
     if (sys.env.get("SPARK_GRAFT_BENCH_VERBOSE").contains("1"))
       r.metrics.foreach(m => System.err.println(
@@ -87,6 +90,7 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "zstd"))
       .config("spark.io.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "zstd"))
+      .config("spark.sql.warehouse.dir", "/tmp/graft-bench-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -71,6 +71,65 @@ class JoinFetcher(docs: DataFrame, broadcastMax: Long = 500000L)
     }
 }
 
+/** Co-located fetch join over a BUCKETED corpus table (the 100 TB plan
+  * shape): `docsTable` is CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO n
+  * buckets; large rounds write the scheduled side bucketed the same way
+  * on `canonical` (one small-side shuffle — which the engine pays anyway
+  * to checkpoint the round) and the join plans as a SortMergeJoin with
+  * ZERO exchanges: the corpus is never shuffled, ever. This is the
+  * Iceberg bucket-transform layout the north rule's table design implies;
+  * [[JoinFetcher]]'s SHUFFLE_HASH fallback re-shuffles the whole corpus
+  * every large round — fine at 10^7 docs, fatal at 10^10.
+  *
+  * Below the broadcast ceiling the plain broadcast-inner decomposition is
+  * used unchanged (the corpus side is a scan either way).
+  */
+class BucketedJoinFetcher(
+    docsTable: String,
+    buckets: Int,
+    broadcastMax: Long = 500000L,
+    schedTable: String = "graft_sched_round"
+) extends Fetcher {
+  // driver round loop is single-threaded: one delegate per round
+  private var small: JoinFetcher = null
+  // per-round table (unique name): overwriting one shared table would be
+  // read-from-target in the same round and a lineage hazard across rounds
+  private var liveTable: Option[(org.apache.spark.sql.SparkSession, String)] = None
+  private var roundN = 0
+
+  override def endRound(): Unit = {
+    if (small != null) { small.endRound(); small = null }
+    // the round's outputs are durably checkpointed before endRound(), so
+    // nothing reads this round's scheduled table again
+    liveTable.foreach { case (s, t) => s.sql(s"DROP TABLE IF EXISTS $t") }
+    liveTable = None
+  }
+
+  def fetch(scheduled: DataFrame, scheduledCount: Long): DataFrame = {
+    val spark = scheduled.sparkSession
+    val docs = spark.table(docsTable)
+    if (scheduledCount > 0 && scheduledCount < broadcastMax) {
+      small = new JoinFetcher(docs, broadcastMax)
+      small.fetch(scheduled, scheduledCount)
+    } else {
+      roundN += 1
+      val t = s"${schedTable}_$roundN"
+      scheduled.write.mode("overwrite")
+        .bucketBy(buckets, "canonical").sortBy("canonical")
+        .format("parquet").saveAsTable(t)
+      liveTable = Some((spark, t))
+      spark.table(t)
+        .join(docs.withColumnRenamed("doc_id", "_doc_id"),
+          col("canonical") === col("_doc_id"), "left")
+        .withColumn("status",
+          when(col("_doc_id").isNotNull, lit(200)).otherwise(lit(404)))
+        .withColumn("spans",
+          coalesce(col("spans"), lit(null).cast(emptySpansT)))
+        .drop("_doc_id")
+    }
+  }
+}
+
 /** Test double (reference Noop backend,
   * crates/spire-core/src/backend/utils/debug.rs:59-156): every request
   * resolves to an empty response with a fixed status.

@@ -99,6 +99,39 @@ class FetcherSpec extends SparkTestBase {
     ConnectionPool.drain(poolId)
   }
 
+  test("bucketed fetch join: identical trace, corpus never shuffled") {
+    import graft.engine.BucketedJoinFetcher
+    docsDf.write.mode("overwrite")
+      .bucketBy(4, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable("graft_test_corpus")
+    // broadcastMax=1 forces the bucketed SortMergeJoin path every round
+    val bucketed = new BucketedJoinFetcher("graft_test_corpus", 4,
+      broadcastMax = 1, schedTable = "graft_test_sched")
+    val dirA = SparkTestBase.tmpDir("bucketed")
+    val a = CrawlEngine.run(spark, docsDf, seeds, noRobots, router, cfg,
+      dirA, fetcher = Some(bucketed))
+    val dirB = SparkTestBase.tmpDir("plainjoin")
+    val b = CrawlEngine.run(spark, docsDf, seeds, noRobots, router, cfg, dirB)
+    def key(r: CrawlEngine.RunResult) = r.trace(spark)
+      .select($"seq", $"url", $"depth", $"status", $"n_links")
+      .as[(Long, String, Int, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(key(a) == key(b))
+    // plan shape: co-located SortMergeJoin, ZERO exchanges — the corpus
+    // (100TB side) is never shuffled. The test corpus is tiny, so disable
+    // auto-broadcast to plan the large-corpus regime.
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fakeSched = docsDf.select($"doc_id".as("canonical"),
+        xxhash64($"doc_id").as("urlHash"))
+      val plan = bucketed.fetch(fakeSched, Long.MaxValue)
+        .queryExecution.executedPlan.toString
+      bucketed.endRound()
+      assert(plan.contains("SortMergeJoin"), s"not a sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange"), s"unexpected exchange:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("retry exhaustion -> 503 -> engine holds the row, crawl completes") {
     val poolId = "dead-1"
     val pooled = new PooledFetcher(new FetcherSpec.DeadBackend, poolId,
