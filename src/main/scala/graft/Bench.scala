@@ -26,16 +26,22 @@ object Bench {
     import spark.implicits._
     val spec = Corpus.Spec(nDocs = nDocs, nHosts = 1000, maxLinks = 10,
       hotHostPct = 20)
-    // fixed work base, wiped per run: repeated bench invocations would
-    // otherwise accumulate tens of GB of round checkpoints in /tmp
-    val base = java.nio.file.Paths.get("/tmp/graft-bench-work")
-    if (java.nio.file.Files.isDirectory(base)) {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(base)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-      finally walk.close()
+    // fixed work base + warehouse, wiped per run: repeated bench
+    // invocations would otherwise accumulate tens of GB in /tmp, and a
+    // stale managed-table LOCATION from a previous JVM blocks saveAsTable
+    def wipe(dir: String): Unit = {
+      val p = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.isDirectory(p)) {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+        finally walk.close()
+      }
     }
+    val base = java.nio.file.Paths.get("/tmp/graft-bench-work")
+    wipe(base.toString)
+    wipe("/tmp/graft-bench-warehouse")
     java.nio.file.Files.createDirectories(base)
     // corpus write is setup, not timed. Written as a BUCKETED table
     // (CLUSTERED BY doc_id) so large-round fetch joins are exchange-free

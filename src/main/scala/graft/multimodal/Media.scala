@@ -27,12 +27,44 @@ object Media {
       height: Int,
       feature: Seq[Float])
 
+  /** A resize result: source dims + aspect-preserving fitted dims + a
+    * deterministic content checksum of the (stub-)resized payload.
+    */
+  case class MediaResized(media_id: Long, format: String, width: Int,
+      height: Int, out_w: Int, out_h: Int, checksum: Long)
+
+  /** One sampled frame of a video asset. */
+  case class MediaFrame(media_id: Long, frame_idx: Int, frame_hash: Long)
+
   /** Decoder boundary. A production implementation would wrap e.g. a
     * JNI codec initialized once per executor (hence the per-partition
-    * instantiation in [[extractFeatures]]).
+    * instantiation in [[extractFeatures]]). `resize`/`frameCount`/
+    * `frameHash` have deterministic stub defaults (integer arithmetic
+    * only — exactly reproducible in the SQL oracle); a real codec
+    * overrides them.
     */
   trait MediaDecoder extends Serializable {
     def decode(mediaId: Long, format: String, payload: Array[Byte]): MediaFeatures
+
+    /** Aspect-preserving fit of (w, h) into (tw, th), integer-exact:
+      * the limiting side is chosen by cross-multiplication (no floats).
+      */
+    def resize(m: MediaFeatures, tw: Int, th: Int): MediaResized = {
+      val (w, h) = (m.width, m.height)
+      val (ow, oh) =
+        if (tw.toLong * h <= th.toLong * w)
+          (tw, math.max(1, (h.toLong * tw / w).toInt))
+        else
+          (math.max(1, (w.toLong * th / h).toInt), th)
+      MediaResized(m.media_id, m.format, w, h, ow, oh,
+        (m.byte_len * ow + oh) % 997)
+    }
+
+    /** Stub frame count for video payloads: 1 + len % 240. */
+    def frameCount(m: MediaFeatures): Int = (1 + m.byte_len % 240).toInt
+
+    def frameHash(m: MediaFeatures, idx: Int): Long =
+      (m.byte_len * 131 + idx) % 997
   }
 
   /** STUB: deterministic fake decode — dimensions and features derived
@@ -74,6 +106,46 @@ object Media {
         // decoder materialized once per partition (executor-local init)
         val d = decoder
         it.map { case (id, fmt, bytes) => d.decode(id, fmt, bytes) }
+      }
+      .toDF()
+  }
+
+  /** Batched resize stage: decode + aspect-preserving fit, one decoder
+    * per partition (same boundary shape as [[extractFeatures]]).
+    */
+  def resizeMedia(media: DataFrame, decoder: MediaDecoder,
+      targetW: Int, targetH: Int): DataFrame = {
+    implicit val enc = Encoders.product[MediaResized]
+    media.select(col("media_id"), col("format"), col("payload"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY))
+      .mapPartitions { it =>
+        val d = decoder
+        it.map { case (id, fmt, bytes) =>
+          d.resize(d.decode(id, fmt, bytes), targetW, targetH)
+        }
+      }
+      .toDF()
+  }
+
+  /** Frame sampling for video assets: every `everyN`-th frame of each
+    * mp4 payload, one decoder per partition; non-video rows emit nothing
+    * (row-expanding flatMap inside the partition — no explode shuffle).
+    */
+  def sampleFrames(media: DataFrame, decoder: MediaDecoder,
+      everyN: Int): DataFrame = {
+    implicit val enc = Encoders.product[MediaFrame]
+    media.select(col("media_id"), col("format"), col("payload"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY))
+      .mapPartitions { it =>
+        val d = decoder
+        it.flatMap { case (id, fmt, bytes) =>
+          if (fmt != "mp4") Iterator.empty
+          else {
+            val m = d.decode(id, fmt, bytes)
+            (0 until d.frameCount(m) by everyN).iterator
+              .map(i => MediaFrame(id, i, d.frameHash(m, i)))
+          }
+        }
       }
       .toDF()
   }

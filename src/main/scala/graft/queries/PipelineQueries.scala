@@ -229,6 +229,20 @@ object PipelineQueries {
         Media.mediaTable(documents(s, dir), "doc_id", "text"))
         .orderBy("media_id")),
 
+    // multimodal resize stage: aspect-preserving integer fit into 32x24
+    "q_media_resize" -> ((s, dir) =>
+      Media.resizeMedia(
+        Media.mediaTable(documents(s, dir), "doc_id", "text"),
+        new Media.StubDecoder(8), targetW = 32, targetH = 24)
+        .orderBy("media_id")),
+
+    // multimodal frame sampling: every 30th frame of each mp4 payload
+    "q_media_frames" -> ((s, dir) =>
+      Media.sampleFrames(
+        Media.mediaTable(documents(s, dir), "doc_id", "text"),
+        new Media.StubDecoder(8), everyN = 30)
+        .orderBy("media_id", "frame_idx")),
+
     "q_media_features" -> ((s, dir) => {
       val media = Media.mediaTable(documents(s, dir), "doc_id", "text")
       val feats = Media.extractFeatures(media, new Media.StubDecoder(8))
@@ -497,6 +511,41 @@ object PipelineQueries {
            CAST(16 + (CAST(octet_length(encode(text)) AS BIGINT) * 7 + 3) % 64
              AS INT) AS height
          FROM documents ORDER BY media_id""",
+
+    "q_media_resize" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id,
+             CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+               WHEN 2 THEN 'wav' ELSE 'mp4' END AS format,
+             CAST(octet_length(encode(text)) AS BIGINT) AS len,
+             CAST(16 + octet_length(encode(text)) % 64 AS INT) AS w,
+             CAST(16 + (CAST(octet_length(encode(text)) AS BIGINT) * 7 + 3)
+               % 64 AS INT) AS h
+           FROM documents),
+         r AS (
+           SELECT media_id, format, w, h,
+             CASE WHEN 32 * h <= 24 * w THEN 32
+               ELSE CAST(greatest(1, (w * 24) // h) AS INT) END AS out_w,
+             CASE WHEN 32 * h <= 24 * w
+               THEN CAST(greatest(1, (h * 32) // w) AS INT) ELSE 24 END AS out_h,
+             len
+           FROM m)
+         SELECT media_id, format, w AS width, h AS height, out_w, out_h,
+           CAST((len * out_w + out_h) % 997 AS BIGINT) AS checksum
+         FROM r ORDER BY media_id""",
+
+    "q_media_frames" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS len
+           FROM documents WHERE doc_id % 4 = 3),
+         f AS (
+           SELECT media_id, len,
+             unnest(range(0, CAST(1 + len % 240 AS INT), 30)) AS frame_idx
+           FROM m)
+         SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST((len * 131 + frame_idx) % 997 AS BIGINT) AS frame_hash
+         FROM f ORDER BY media_id, frame_idx""",
 
     "q_media_features" ->
       """SELECT doc_id AS media_id,

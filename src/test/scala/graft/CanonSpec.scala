@@ -112,6 +112,18 @@ class CanonSpec extends SparkTestBase {
       s"fused != tree on ${mismatch.length}: ${mismatch.take(5).mkString("; ")}")
   }
 
+  test("SQL-callable via SparkSessionExtensions function registration") {
+    graft.canon.GraftExtensions.functions.foreach { case (id, info, b) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, b)
+    }
+    val r = spark.sql(
+      """SELECT canonicalize_url('HTTP://U:p@A.test:80/x/./y/../z/?b=1&a=2#f')
+           AS c,
+         url_host('https://[2001:DB8::1]:8443/q') AS h""").head()
+    assert(r.getString(0) == "http://a.test/x/z?a=2&b=1")
+    assert(r.getString(1) == "[2001:db8::1]")
+  }
+
   test("host + hash extraction") {
     val r = Seq("https://Sub.Example.org:9999/a?x=1")
       .toDF("url")
