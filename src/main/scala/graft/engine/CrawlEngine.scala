@@ -320,17 +320,23 @@ object CrawlEngine {
             .otherwise(FlowControl.mk(lit("hold"), lit("owner"), lit(0L))))
 
       // metrics in one pass over the persisted fetch (also provides the
-      // row counts for the sink writes below)
-      val aggRow = routed.agg(
-        sum(when(FlowControl.isSuccess(col("outcome.outcome")), 1L)
-          .otherwise(0L)).as("s"),
-        sum(when(FlowControl.isSuccess(col("outcome.outcome")), 0L)
-          .otherwise(1L)).as("f"),
-        sum(when(col("status") === 200, 1L).otherwise(0L)).as("ok"))
-        .collect()(0)
-      val succ = if (aggRow.isNullAt(0)) 0L else aggRow.getLong(0)
-      val fail = if (aggRow.isNullAt(1)) 0L else aggRow.getLong(1)
-      val n200 = if (aggRow.isNullAt(2)) 0L else aggRow.getLong(2)
+      // row counts for the sink writes below). PER-TAG accounting, the
+      // full Metric-middleware semantics (metric.rs:126-155: success =
+      // Continue|Wait, failure = Skip|Hold|Fail, per route) — tag
+      // cardinality = registered routes, so the collect stays tiny.
+      val tagRows = routed.groupBy(coalesce(col("tag"), lit("")).as("t"))
+        .agg(
+          sum(when(FlowControl.isSuccess(col("outcome.outcome")), 1L)
+            .otherwise(0L)).as("s"),
+          sum(when(FlowControl.isSuccess(col("outcome.outcome")), 0L)
+            .otherwise(1L)).as("f"),
+          sum(when(col("status") === 200, 1L).otherwise(0L)).as("ok"))
+        .collect()
+      val byTag = tagRows.map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val succ = tagRows.map(_.getLong(1)).sum
+      val fail = tagRows.map(_.getLong(2)).sum
+      val n200 = tagRows.map(_.getLong(3)).sum
 
       // 7. trace + records sink (S4: typed data sink -> parquet append);
       //    writes launched concurrently with the frontier/seen writes below
@@ -500,7 +506,7 @@ object CrawlEngine {
         succ, fail, (System.nanoTime() - t0) / 1000000L)
       TableIO.writeManifest(workDir, round,
         TableIO.manifestJson(round, Seq(schedStat, frontStat, seenStat), m,
-          completed = true, deferLedger, hostNotBefore))
+          completed = true, deferLedger, hostNotBefore, byTag))
       metrics :+= m
 
       // 12. advance (read back from checkpoint: plan restarts at scan)

@@ -135,7 +135,10 @@ object TableIO {
       metrics: graft.model.RoundMetrics,
       completed: Boolean,
       deferLedger: Map[String, Int] = Map.empty,
-      hostNotBefore: Map[String, Int] = Map.empty
+      hostNotBefore: Map[String, Int] = Map.empty,
+      /** per-route success/failure (reference Metric middleware,
+        * metric.rs:126-155); "" = fallback route. */
+      byTag: Map[String, (Long, Long)] = Map.empty
   ): String = {
     def parts(ps: Seq[PartStat]) = ps.map(p =>
       s"""{"bucket":${p.bucket},"rows":${p.rows},"content_hash":${p.contentHash}}""")
@@ -147,9 +150,16 @@ object TableIO {
     s"""{"round":$round,"tables":$ts,"metrics":{"frontier_rows":${m.frontierRows},""" +
       s""""scheduled_rows":${m.scheduledRows},"emitted_children":${m.emittedChildren},""" +
       s""""seen_delta":${m.seenDelta},"success":${m.success},"failure":${m.failure},""" +
-      s""""wall_ms":${m.wallMs}},"ledgers":{"defer":${ledgerJson(deferLedger)},""" +
+      s""""wall_ms":${m.wallMs}},"metrics_by_tag":${byTagJson(byTag)},""" +
+      s""""ledgers":{"defer":${ledgerJson(deferLedger)},""" +
       s""""host_not_before":${ledgerJson(hostNotBefore)}},"completed":$completed}"""
   }
+
+  private def byTagJson(m: Map[String, (Long, Long)]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (k, (s, f)) =>
+        s""""${jsonEscape(k)}":{"success":$s,"failure":$f}""" }
+      .mkString("{", ",", "}")
 
   // ---- politeness ledgers (checkpointed so resume == straight-through in
   //      enforce modes — ADVICE r01: round 1 restarted with empty ledgers,

@@ -307,6 +307,10 @@ class EngineSpec extends SparkTestBase {
     assert(m.contains("\"completed\":true"))
     assert(m.contains("\"scheduled\""))
     assert(m.contains("content_hash"))
+    // per-route Metric-middleware accounting (F11/F12): both the "page"
+    // route and the fallback ("") appear with success counts
+    assert(m.contains("\"metrics_by_tag\""))
+    assert(m.contains("\"page\":{\"success\""), m)
     assert(TableIO.latestCompletedRound(r.workDir) == r.rounds - 1)
   }
 }
