@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// the bench JSON. sbt's default LoggedOutput strategy prefixes the forked
+// program's stdout with "[info] " and appends a "[success] Total time" line,
+// which broke that parse two rounds running (BENCH_r01/r02 "parsed": null).
+// StdoutOutput passes program output through raw; showSuccess drops the
+// trailer — the program's own last line IS sbt's last line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
