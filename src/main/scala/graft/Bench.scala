@@ -21,27 +21,35 @@ import graft.router.{Handler, Router}
   */
 object Bench {
 
+  /** Per-run scratch base: env-overridable (point at /dev/shm for the
+    * checkpoint-light tmpfs scaling runs), PID-suffixed by default so two
+    * concurrent invocations never wipe each other's live corpus mid-run
+    * (ADVICE r02). Each run wipes ONLY its own base.
+    */
+  def runBase: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASE",
+    s"/tmp/graft-bench-${ProcessHandle.current().pid()}")
+
+  def wipe(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.isDirectory(p)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+  }
+
   def crawlBench(spark: SparkSession, nDocs: Long, rounds: Int,
       partitions: Int): (Long, Double, Double) = {
     import spark.implicits._
     val spec = Corpus.Spec(nDocs = nDocs, nHosts = 1000, maxLinks = 10,
       hotHostPct = 20)
-    // fixed work base + warehouse, wiped per run: repeated bench
-    // invocations would otherwise accumulate tens of GB in /tmp, and a
-    // stale managed-table LOCATION from a previous JVM blocks saveAsTable
-    def wipe(dir: String): Unit = {
-      val p = java.nio.file.Paths.get(dir)
-      if (java.nio.file.Files.isDirectory(p)) {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(p)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.delete)
-        finally walk.close()
-      }
-    }
-    val base = java.nio.file.Paths.get("/tmp/graft-bench-work")
+    // work base wiped per run: repeated bench invocations would otherwise
+    // accumulate tens of GB, and a stale managed-table LOCATION from a
+    // previous JVM blocks saveAsTable (warehouse lives under the same base)
+    val base = java.nio.file.Paths.get(runBase, "work")
     wipe(base.toString)
-    wipe("/tmp/graft-bench-warehouse")
     java.nio.file.Files.createDirectories(base)
     // corpus write is setup, not timed. Written as a BUCKETED table
     // (CLUSTERED BY doc_id) so large-round fetch joins are exchange-free
@@ -65,10 +73,11 @@ object Bench {
     val work = s"$base/crawl"
     val router = Router(Map("page" -> Handler.linkFollower()),
       fallback = Handler.linkFollower())
-    val fetcher = new graft.engine.BucketedJoinFetcher("graft_corpus", 64)
+    // no explicit fetcher: the bench exercises the ENGINE DEFAULT, which
+    // must auto-detect the bucketed corpus table (round-2 verdict #1)
     val t0 = System.nanoTime()
     val r = CrawlEngine.run(spark, docs, seeds, robots.toDS(), router, cfg,
-      work, fetcher = Some(fetcher))
+      work)
     val secs = (System.nanoTime() - t0) / 1e9
     if (sys.env.get("SPARK_GRAFT_BENCH_VERBOSE").contains("1"))
       r.metrics.foreach(m => System.err.println(
@@ -83,6 +92,9 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1000000").toLong
     val benchRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "6").toInt
+    // stale warehouse state only possible under a FIXED env-pinned base
+    // (e.g. back-to-back tmpfs scaling runs); wipe before the session binds
+    wipe(s"$runBase/warehouse")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -96,30 +108,46 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "zstd"))
       .config("spark.io.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "zstd"))
-      .config("spark.sql.warehouse.dir", "/tmp/graft-bench-warehouse")
+      .config("spark.sql.warehouse.dir", s"$runBase/warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val crawlOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("1")
-    val results =
-      if (crawlOnly) Seq.empty[(String, Double)]
+    // a failed query is an ERROR in the output, never a (fast-looking)
+    // timing — the bench must not look healthier than it is (VERDICT r02)
+    val attempts: Seq[(String, Either[String, Double])] =
+      if (crawlOnly) Seq.empty
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> (try {
+          fn(spark, sfDir).count()
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        })
       }
+    val results = attempts.collect { case (n, Right(s)) => n -> s }
+    val errors = attempts.collect { case (n, Left(m)) => n -> m }
     val (scheduled, crawlSecs, rate) =
       crawlBench(spark, benchDocs, benchRounds, cpus.toInt)
 
     def f3(d: Double): String = f"$d%.3f"
+    def jstr(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
     val qs = (results :+ ("crawl_bench" -> crawlSecs))
       .map { case (k, v) => s""""$k":${f3(v)}""" }
+      .mkString("{", ",", "}")
+    val errJson = errors
+      .map { case (k, m) => s""""$k":"${jstr(m)}"""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + crawlSecs
     val json =
       s"""{"metric":"urls_scheduled_per_sec","value":${f3(rate)},""" +
-        s""""unit":"urls/sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""total_sec":${f3(total)},"crawl_urls_scheduled":$scheduled,""" +
+        s""""unit":"urls/sec","queries":$qs,"errors":$errJson,""" +
+        s""""sf":"$sfDir","total_sec":${f3(total)},""" +
+        s""""crawl_urls_scheduled":$scheduled,""" +
         s""""crawl_sec":${f3(crawlSecs)},"cpus":$cpus}"""
     // the metric line must survive log interleaving (round-1 driver parse
     // failed on a mid-run stack trace): write it to a dedicated file FIRST,

@@ -168,7 +168,12 @@ object CrawlEngine {
       stopSignal: () => Boolean = () => false
   ): RunResult = {
     import spark.implicits._
-    val theFetcher = fetcher.getOrElse(new JoinFetcher(docs))
+    // default = scale-safe co-located fetch (round-2 verdict #1): bucketed
+    // catalog tables join with zero corpus Exchanges; anything else buckets
+    // itself once on the first large round. A caller-provided fetcher is
+    // caller-owned and never closed here.
+    val theFetcher = fetcher.getOrElse(
+      Fetcher.auto(docs, autoBuckets = cfg.frontierPartitions))
 
     var frontier = resumeState.map(_.frontier)
       .getOrElse(seedCandidates(spark, seeds, cfg.lifo))
@@ -519,6 +524,7 @@ object CrawlEngine {
       round += 1
     }
 
+    if (fetcher.isEmpty) theFetcher.close()
     RunResult(round, nextSeq, metrics, workDir)
   }
 

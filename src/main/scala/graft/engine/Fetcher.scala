@@ -19,8 +19,59 @@ trait Fetcher extends Serializable {
   /** Called by the engine at end-of-round; release per-round resources. */
   def endRound(): Unit = {}
 
+  /** Called by the engine after the crawl loop; release run-scoped
+    * resources (e.g. [[AutoBucketJoinFetcher]]'s one-time corpus copy).
+    */
+  def close(): Unit = {}
+
   protected val emptySpansT =
     "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+}
+
+/** Engine-default fetch selection (round-2 verdict #1: the default fetch
+  * path must never re-shuffle the corpus on large rounds).
+  */
+object Fetcher {
+
+  /** Pick the scale-safe default for `docs`:
+    *  - `docs` IS a catalog table bucketed on doc_id (the 100 TB layout) ->
+    *    [[BucketedJoinFetcher]]: large rounds are zero-Exchange co-located
+    *    SortMergeJoins, the corpus is never shuffled.
+    *  - anything else -> [[AutoBucketJoinFetcher]]: broadcast path under
+    *    the ceiling; the FIRST large round pays a one-time bucketed corpus
+    *    copy, then joins co-located forever — one full write beats
+    *    re-shuffling 100 TB on every large round.
+    */
+  def auto(docs: DataFrame, broadcastMax: Long = 500000L,
+      autoBuckets: Int = 64): Fetcher =
+    bucketedTableOf(docs) match {
+      case Some((table, n)) => new BucketedJoinFetcher(table, n, broadcastMax)
+      case None => new AutoBucketJoinFetcher(docs, autoBuckets, broadcastMax)
+    }
+
+  /** (table name, bucket count) when `docs` is exactly a scan of a catalog
+    * table bucketed on doc_id (aliases stripped; any other plan on top —
+    * filters, projections — would not be bucket-layout-preserving in
+    * general, so detection stays conservative).
+    */
+  def bucketedTableOf(docs: DataFrame): Option[(String, Int)] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    @scala.annotation.tailrec
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case s: SubqueryAlias => strip(s.child)
+      case o => o
+    }
+    strip(docs.queryExecution.analyzed) match {
+      case l: LogicalRelation =>
+        for {
+          ct <- l.catalogTable
+          bs <- ct.bucketSpec
+          if bs.bucketColumnNames == Seq("doc_id")
+        } yield (ct.identifier.unquotedString, bs.numBuckets)
+      case _ => None
+    }
+  }
 }
 
 /** Deterministic corpus fetch = join against the docs table on the
@@ -128,6 +179,55 @@ class BucketedJoinFetcher(
         .drop("_doc_id")
     }
   }
+}
+
+/** [[JoinFetcher]] semantics with a scale-safe large-round path for a
+  * NON-table corpus DataFrame: the first round over `broadcastMax` writes
+  * `docs` ONCE as a bucketed table (CLUSTERED BY doc_id), then delegates to
+  * [[BucketedJoinFetcher]] — every subsequent large round is a co-located
+  * zero-Exchange join. One full corpus write amortizes against the
+  * per-round corpus re-shuffle the old SHUFFLE_HASH fallback paid
+  * (round-2 verdict: "fine at 10^7 docs, fatal at 10^10").
+  * [[close]] drops the copy (a resumed crawl rebuilds it on its first
+  * large round — the copy is a cache, not state).
+  */
+class AutoBucketJoinFetcher(
+    docs: DataFrame,
+    buckets: Int,
+    broadcastMax: Long = 500000L
+) extends Fetcher {
+  private var small: JoinFetcher = null
+  private var bucketed: BucketedJoinFetcher = null
+  private val tableName =
+    s"graft_docs_auto_${java.util.UUID.randomUUID().toString.replace("-", "_")}"
+
+  override def endRound(): Unit = {
+    if (small != null) { small.endRound(); small = null }
+    if (bucketed != null) bucketed.endRound()
+  }
+
+  override def close(): Unit = {
+    if (bucketed != null) {
+      bucketed.close()
+      docs.sparkSession.sql(s"DROP TABLE IF EXISTS $tableName")
+      bucketed = null
+    }
+  }
+
+  def fetch(scheduled: DataFrame, scheduledCount: Long): DataFrame =
+    if (scheduledCount > 0 && scheduledCount < broadcastMax) {
+      small = new JoinFetcher(docs, broadcastMax)
+      small.fetch(scheduled, scheduledCount)
+    } else {
+      if (bucketed == null) {
+        docs.write.mode("overwrite")
+          .bucketBy(buckets, "doc_id").sortBy("doc_id")
+          .format("parquet").saveAsTable(tableName)
+        bucketed = new BucketedJoinFetcher(tableName, buckets, broadcastMax,
+          schedTable = s"${tableName}_sched")
+      }
+      bucketed.fetch(scheduled, scheduledCount)
+    }
 }
 
 /** Test double (reference Noop backend,

@@ -132,6 +132,53 @@ class FetcherSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("engine DEFAULT fetch is scale-safe: bucketed tables auto-detected, " +
+      "other corpora bucket themselves once, corpus never shuffled") {
+    import graft.engine.{AutoBucketJoinFetcher, BucketedJoinFetcher, Fetcher}
+    docsDf.write.mode("overwrite")
+      .bucketBy(4, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable("graft_auto_corpus")
+    // detection: a bucketed catalog table selects the co-located fetcher...
+    val tbl = spark.table("graft_auto_corpus")
+    assert(Fetcher.bucketedTableOf(tbl).exists(_._2 == 4))
+    assert(Fetcher.auto(tbl).isInstanceOf[BucketedJoinFetcher])
+    // ...a derived DataFrame selects the one-time auto-bucketing variant
+    assert(Fetcher.bucketedTableOf(docsDf).isEmpty)
+    assert(Fetcher.auto(docsDf).isInstanceOf[AutoBucketJoinFetcher])
+
+    // auto-bucket path end-to-end (broadcastMax=1 forces it every round):
+    // identical trace to the broadcast-join default
+    val auto = new AutoBucketJoinFetcher(docsDf, 4, broadcastMax = 1)
+    val dirA = SparkTestBase.tmpDir("autobucket")
+    val a = CrawlEngine.run(spark, docsDf, seeds, noRobots, router, cfg,
+      dirA, fetcher = Some(auto))
+    val dirB = SparkTestBase.tmpDir("autobucket-ref")
+    val b = CrawlEngine.run(spark, docsDf, seeds, noRobots, router, cfg, dirB)
+    def key(r: CrawlEngine.RunResult) = r.trace(spark)
+      .select($"seq", $"url", $"depth", $"status", $"n_links")
+      .as[(Long, String, Int, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(key(a) == key(b))
+    // plan shape on the auto-bucketed copy: zero-Exchange SortMergeJoin
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fakeSched = docsDf.select($"doc_id".as("canonical"),
+        xxhash64($"doc_id").as("urlHash"))
+      val plan = auto.fetch(fakeSched, Long.MaxValue)
+        .queryExecution.executedPlan.toString
+      auto.endRound()
+      assert(plan.contains("SortMergeJoin"), s"not a sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange"), s"unexpected exchange:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    // close() drops the one-time corpus copy
+    val autoTables = spark.catalog.listTables()
+      .filter($"name".startsWith("graft_docs_auto_")).count()
+    assert(autoTables == 1L, s"expected the auto corpus copy, got $autoTables")
+    auto.close()
+    assert(spark.catalog.listTables()
+      .filter($"name".startsWith("graft_docs_auto_")).count() == 0L)
+  }
+
   test("retry exhaustion -> 503 -> engine holds the row, crawl completes") {
     val poolId = "dead-1"
     val pooled = new PooledFetcher(new FetcherSpec.DeadBackend, poolId,
