@@ -105,27 +105,81 @@ object CrawlEngine {
   }
 
   /** Deterministic global FIFO seq for this round's scheduled rows.
-    * Two-level: within-parent rank (parallel window) + per-parent offsets
-    * (prefix sum over the tiny per-parent count table, broadcast back).
+    *
+    * THREE-level prefix sum (round-2 verdict #3 — the two-level form ran
+    * `sum over (orderBy _ps)` with no partitionBy, a single-partition sort
+    * over the per-parent count table, ~10^8 rows through ONE task at a
+    * 10^9-URL round):
+    *   L1 within-parent rank: window partitioned by parentSeq (parallel)
+    *   L2 per-parent offsets, bucketed: range-partition the count table on
+    *      _ps into `rangeBuckets` order-preserving buckets; prefix-sum
+    *      WITHIN each bucket (window partitioned by bucket id — parallel)
+    *   L3 bucket offsets: one total per bucket (<= rangeBuckets rows,
+    *      config-bounded), prefix-summed on the DRIVER and folded back as
+    *      a literal map — control-plane, same pattern as the politeness
+    *      ledgers. No single-partition window or sort anywhere.
+    *
+    * The bucketed count table is PERSISTED before its two consumers (the
+    * totals collect and the offsets join): range-partitioner sampling and
+    * spark_partition_id are only deterministic across jobs when both read
+    * the same materialized blocks. Callers pass `roundCaches` to unpersist
+    * after the downstream action (the engine does, right after the
+    * scheduled checkpoint); with None the handle is left to LRU eviction.
+    *
+    * `rangeBuckets <= 1` keeps the two-level form — right for small rounds
+    * where the count table fits one task and the extra shuffle+persist
+    * would dominate.
     */
   def assignSeq(scheduled: DataFrame, nextSeq: Long,
-      broadcastOffsets: Boolean = true): DataFrame = {
+      broadcastOffsets: Boolean = true,
+      rangeBuckets: Int = 0,
+      roundCaches: Option[scala.collection.mutable.Buffer[DataFrame]] = None
+  ): DataFrame = {
     val wIn = Window.partitionBy(col("parentSeq")).orderBy(col("emissionIdx"))
     val ranked = scheduled.withColumn("_rk", row_number().over(wIn))
-    val offsets = ranked.groupBy(col("parentSeq").as("_ps"))
+    val counts = ranked.groupBy(col("parentSeq").as("_ps"))
       .agg(count(lit(1)).as("_cnt"))
-      .withColumn("_off",
-        coalesce(
-          sum(col("_cnt")).over(
-            Window.orderBy(col("_ps"))
-              .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .drop("_cnt")
+    val offsets =
+      if (rangeBuckets > 1) {
+        val local = counts
+          .repartitionByRange(rangeBuckets, col("_ps"))
+          .withColumn("_pid", spark_partition_id())
+          .withColumn("_loc",
+            coalesce(
+              sum(col("_cnt")).over(
+                Window.partitionBy(col("_pid")).orderBy(col("_ps"))
+                  .rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        roundCaches.foreach(_ += local)
+        // L3: <= rangeBuckets rows — driver-side prefix, literal map back
+        val totals = local.groupBy(col("_pid"))
+          .agg(sum(col("_cnt")).as("_tot"))
+          .collect().map(r => (r.getInt(0), r.getLong(1)))
+          .sortBy(_._1)
+        var acc = 0L
+        val bucketOff: Map[Int, Long] = totals.map { case (pid, tot) =>
+          val off = (pid, acc); acc += tot; off
+        }.toMap
+        val poff =
+          if (bucketOff.isEmpty) lit(0L)
+          else coalesce(element_at(typedlit(bucketOff), col("_pid")), lit(0L))
+        local.select(col("_ps"), (col("_loc") + poff).as("_off"))
+      } else {
+        counts.withColumn("_off",
+          coalesce(
+            sum(col("_cnt")).over(
+              Window.orderBy(col("_ps"))
+                .rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .drop("_cnt")
+      }
     // offsets has one row per parent — usually tiny vs children, so
     // broadcast; above ~10^6 parents fall back to a shuffled join
-    val offSide = if (broadcastOffsets) broadcast(offsets) else offsets
+    val offSide =
+      if (broadcastOffsets && rangeBuckets <= 1) broadcast(offsets) else offsets
     ranked
-      .join(offSide, ranked("parentSeq") === offsets("_ps"))
+      .join(offSide, ranked("parentSeq") === col("_ps"))
       .withColumn("seq", lit(nextSeq) + col("_off") + col("_rk") - 1)
       .drop("_ps", "_off", "_rk")
   }
@@ -298,13 +352,20 @@ object CrawlEngine {
             cfg.budgetSalts)
         else Politeness.budgetRank(allowed, cfg.defaultHostBudget)
 
-      // 4. depth bound + seq assignment
+      // 4. depth bound + seq assignment. Above ~10^6 candidates the
+      //    per-parent count table stops being "tiny": switch to the
+      //    three-level bucketed prefix sum (and a shuffled offsets join)
       val bounded = underBudget.filter(col("depth") <= cfg.maxDepth)
+      val bigRound = frontierCount >= 1000000L
+      val seqCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
       val scheduled = assignSeq(bounded, nextSeq,
-        broadcastOffsets = frontierCount < 1000000L)
+        broadcastOffsets = !bigRound,
+        rangeBuckets = if (bigRound) cfg.frontierPartitions else 0,
+        roundCaches = Some(seqCaches))
       val schedStat = TableIO.writeRound(
         scheduled, workDir, "scheduled", round, "urlHash",
         bucketsFor(frontierCount), cfg.lineageStats)
+      seqCaches.foreach(_.unpersist(blocking = false))
       val scheduledBack = TableIO.readRound(spark, workDir, "scheduled", round)
       val scheduledCount = schedStat.rows
 

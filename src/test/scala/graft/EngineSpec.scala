@@ -313,4 +313,32 @@ class EngineSpec extends SparkTestBase {
     assert(m.contains("\"page\":{\"success\""), m)
     assert(TableIO.latestCompletedRound(r.workDir) == r.rounds - 1)
   }
+
+  test("three-level seq prefix sum == two-level, no single-partition stage") {
+    // skewed synthetic candidates: parent p has (p % 37) + 1 children,
+    // parents not contiguous (gaps + seeds at -1) — exercises bucketing
+    val cand = spark.range(0, 4000)
+      .select((col("id") * 3 - 1).as("parentSeq"),
+        explode(sequence(lit(0), (col("id") % 37).cast("int")))
+          .as("emissionIdx"))
+      .withColumn("urlHash", xxhash64(col("parentSeq"), col("emissionIdx")))
+    val twoLevel = CrawlEngine.assignSeq(cand, nextSeq = 100L)
+      .select("parentSeq", "emissionIdx", "seq")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    val caches = scala.collection.mutable.ListBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    val threeLevelDf = CrawlEngine.assignSeq(cand, nextSeq = 100L,
+      broadcastOffsets = false, rangeBuckets = 7, roundCaches = Some(caches))
+    val threeLevel = threeLevelDf
+      .select("parentSeq", "emissionIdx", "seq")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(threeLevel == twoLevel)
+    // seq is a dense global FIFO range starting at nextSeq
+    assert(threeLevel.map(_._3).sorted == (100L until (100L + cand.count())))
+    // plan: no stage funnels all parents through one task (the two-level
+    // form's global window plans an Exchange SinglePartition)
+    val plan = threeLevelDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"single-partition stage:\n$plan")
+    caches.foreach(_.unpersist(blocking = true))
+  }
 }
