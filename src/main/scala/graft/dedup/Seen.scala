@@ -88,39 +88,28 @@ object Seen {
       family: Seq[org.apache.spark.broadcast.Broadcast[Map[Int, Array[Byte]]]],
       nShards: Int
   ): (DataFrame, DataFrame) = {
-    val handles = family // stable closure capture (no engine state)
-    val mightContain = udf { (hash: Long) =>
-      val shard = (((hash % nShards) + nShards) % nShards).toInt
-      handles.exists(_.value.get(shard).exists(bytes =>
-        Filters.deserialize(bytes).mightContainLong(hash)))
-    }
-    val tagged = candidates.withColumn("_maybe_seen", mightContain(col("urlHash")))
+    // fused expression, NOT a udf: the probe runs once per candidate in
+    // the crawl round's hottest filter — the generated code is a single
+    // static call on an unboxed long (round-2 verdict #4)
+    val probe = org.apache.spark.sql.GraftExpr.column(BloomSeenProbe(
+      org.apache.spark.sql.GraftExpr.expression(col("urlHash")),
+      family, nShards))
+    val tagged = candidates.withColumn("_maybe_seen", probe)
     (tagged.filter(!col("_maybe_seen")).drop("_maybe_seen"),
       tagged.filter(col("_maybe_seen")).drop("_maybe_seen"))
   }
 
   /** Bloom pre-filter: keep candidates that are definitely-new in their
     * shard's bloom OR that hit it (maybe-seen -> fall through to the exact
-    * join). Implemented as a deserialize-once-per-partition filter over the
-    * broadcast shard map.
+    * join). Single-map convenience form of [[bloomPrefilterMulti]].
     */
   def bloomPrefilter(
       candidates: DataFrame,
       blooms: Map[Int, Array[Byte]],
       nShards: Int
   ): (DataFrame, DataFrame) = {
-    val spark = candidates.sparkSession
-    val bc = spark.sparkContext.broadcast(blooms)
-    val mightContain = udf { (hash: Long) =>
-      val shard = ((hash % nShards) + nShards) % nShards
-      bc.value.get(shard.toInt).exists { bytes =>
-        Filters.deserialize(bytes).mightContainLong(hash)
-      }
-    }
-    val tagged = candidates.withColumn("_maybe_seen", mightContain(col("urlHash")))
-    val definitelyNew = tagged.filter(!col("_maybe_seen")).drop("_maybe_seen")
-    val maybeSeen = tagged.filter(col("_maybe_seen")).drop("_maybe_seen")
-    (definitelyNew, maybeSeen)
+    val bc = candidates.sparkSession.sparkContext.broadcast(blooms)
+    bloomPrefilterMulti(candidates, Seq(bc), nShards)
   }
 
   /** Exact tier: candidates whose urlHash is not in seen (left-anti). */
@@ -161,5 +150,24 @@ object Filters {
       cache.put(bytes, f)
       f
     }
+  }
+
+  /** Family probe called from generated code ([[BloomSeenProbe]]): true iff
+    * any family member's shard filter might contain `hash`. Allocation-free
+    * on the hot path apart from the boxed shard-key map lookup.
+    */
+  def probeFamily(
+      family: Seq[org.apache.spark.broadcast.Broadcast[Map[Int, Array[Byte]]]],
+      nShards: Int,
+      hash: Long
+  ): Boolean = {
+    val shard = (((hash % nShards) + nShards) % nShards).toInt
+    val it = family.iterator
+    while (it.hasNext) {
+      val bytes = it.next().value.getOrElse(shard, null)
+      if (bytes != null && deserialize(bytes).mightContainLong(hash))
+        return true
+    }
+    false
   }
 }
