@@ -255,7 +255,9 @@ object SparkEntry {
           .otherwise("error_query").as("kind"),
         (col("doc_id") % 2 === 0).as("is_err"),
         (col("doc_id") % 7 * 100).cast("long").as("defer_ms_in"),
-        lit("single:t1").as("query_tag"))
+        // every third error_query carries a TagQuery::List (F10)
+        when(col("doc_id") % 3 === 0, lit("list:t1,t2"))
+          .otherwise(lit("single:t1")).as("query_tag"))
       d.select(col("doc_id"),
           FlowControl.convert(col("kind"), col("is_err"),
             col("defer_ms_in"), col("query_tag")).as("fc"))
@@ -403,6 +405,7 @@ object SparkEntry {
              WHEN doc_id % 4 = 0 THEN NULL
              WHEN doc_id % 4 = 1 THEN 'owner'
              WHEN doc_id % 4 = 2 THEN 'owner'
+             WHEN doc_id % 3 = 0 THEN 'list:t1,t2'
              ELSE 'single:t1' END AS defer_query,
            CAST(CASE WHEN doc_id % 4 = 1 THEN (doc_id % 7) * 100
                 ELSE 0 END AS BIGINT) AS defer_ms

@@ -449,13 +449,19 @@ object CrawlEngine {
           val q = r.getString(2)
           val dRounds = math.max(1,
             math.ceil(r.getLong(3).toDouble / cfg.msPerRound).toInt)
-          val key = q match {
-            case "every" => "__every__"
+          // TagQuery resolution (flow_control.rs:36-53, is_match :55-65):
+          // Owner / Single / Every / List — a list query expands to one
+          // ledger key per member (F10; "list:a,b" encoding, SURVEY §1.1)
+          val keys: Seq[String] = q match {
+            case "every" => Seq("__every__")
             case s if s != null && s.startsWith("single:") =>
-              s.stripPrefix("single:")
-            case _ => tag // owner; null tag (Fallback) never matches: skip
+              Seq(s.stripPrefix("single:"))
+            case s if s != null && s.startsWith("list:") =>
+              s.stripPrefix("list:").split(",").toSeq.filter(_.nonEmpty)
+            case _ => // owner; null tag (Fallback) never matches: skip
+              if (tag != null) Seq(tag) else Seq.empty
           }
-          if (key != null) {
+          keys.foreach { key =>
             if (isFail && cfg.enforceAbort)
               deferLedger += key -> Int.MaxValue // permanent kill
             else if (!isFail && cfg.enforceDefer) {

@@ -118,6 +118,25 @@ object FlowControl {
 
   def waitOwner(ms: Column): Column = mk(lit("wait"), lit("owner"), ms)
 
+  /** TagQuery::List encoding "list:a,b" (flow_control.rs:49-50, is_match
+    * :62 — matches every tag in the list). Commas are the separator, so
+    * member tags must not contain one; fail fast at build time.
+    */
+  def listQuery(tags: Seq[String]): Column = {
+    require(tags.nonEmpty, "TagQuery::List needs at least one tag")
+    require(tags.forall(t => t != null && t.nonEmpty && !t.contains(",")),
+      s"list tags must be non-empty and comma-free: $tags")
+    lit("list:" + tags.mkString(","))
+  }
+
+  /** Wait(List(tags), ms) — defer every listed tag. */
+  def waitTags(tags: Seq[String], ms: Column): Column =
+    mk(lit("wait"), listQuery(tags), ms)
+
+  /** Hold(List(tags), ms). */
+  def holdTags(tags: Seq[String], ms: Column): Column =
+    mk(lit("hold"), listQuery(tags), ms)
+
   /** Column-level conversion for a handler result encoded as
     * (kind, isErr, deferMs): kind in {unit, duration, error, error_query}.
     * `isErr` applies the Result-flip.

@@ -136,6 +136,31 @@ class EngineSpec extends SparkTestBase {
     assert(r.totalScheduled > 0)
   }
 
+  test("TagQuery::List defer blocks every listed tag (F10)") {
+    import graft.model.Seed
+    import graft.router.FlowControl
+    val listSeeds = Seq(Seed(Corpus.url(0L, spec), "a", 0),
+      Seed(Corpus.url(1L, spec), "b", 1))
+    def runWith(aOutcome: org.apache.spark.sql.Column) = {
+      val router = Router(Map(
+        "a" -> Handler(Handler.linkFollower().children, aOutcome),
+        "b" -> Handler.linkFollower()))
+      val cfg = CrawlConfig(maxRounds = 4, maxDepth = 3, enforceDefer = true,
+        msPerRound = 1000L, frontierPartitions = 4,
+        bloomExpectedItems = 10000L)
+      val r = CrawlEngine.run(spark, docsDf, listSeeds, noRobots, router,
+        cfg, SparkTestBase.tmpDir("listdefer"))
+      r.trace(spark).filter($"tag" === "b" && $"round" > 0)
+        .select(min($"round")).as[Int].head()
+    }
+    // Wait(List(a,b), 2 rounds): b's children blocked until round 2...
+    val blocked = runWith(FlowControl.waitTags(Seq("a", "b"), lit(2000L)))
+    assert(blocked >= 2, s"list defer ignored: b ran at round $blocked")
+    // ...whereas Wait(Owner) from route 'a' never blocks 'b'
+    val owner = runWith(FlowControl.waitOwner(lit(2000L)))
+    assert(owner == 1, s"owner defer wrongly blocked b until $owner")
+  }
+
   test("runOnce: single request processed, children left queued") {
     val cfg = CrawlConfig(maxDepth = 3, frontierPartitions = 4,
       useBloomPrefilter = false)

@@ -20,8 +20,22 @@ class FlowControlSpec extends SparkTestBase {
     ("error", false, 0L, null) -> ("hold", "owner", 0L),
     ("error", true, 0L, null) -> ("hold", "owner", 0L),
     ("error_query", false, 0L, "single:t1") -> ("fail", "single:t1", 0L),
-    ("error_query", true, 0L, "every") -> ("fail", "every", 0L)
+    ("error_query", true, 0L, "every") -> ("fail", "every", 0L),
+    // TagQuery::List (flow_control.rs:49-50): query carried verbatim
+    ("error_query", false, 0L, "list:t1,t2") -> ("fail", "list:t1,t2", 0L),
+    ("error_query", true, 0L, "list:a,b,c") -> ("fail", "list:a,b,c", 0L)
   )
+
+  test("TagQuery::List constructors encode and validate (F10)") {
+    val df = Seq(1).toDF("x").select(
+      FlowControl.waitTags(Seq("a", "b"), lit(1500L)).as("w"),
+      FlowControl.holdTags(Seq("c"), lit(0L)).as("h"))
+    val (w, h) = df.select($"w.deferQuery", $"h.deferQuery")
+      .as[(String, String)].head()
+    assert(w == "list:a,b" && h == "list:c")
+    intercept[IllegalArgumentException](FlowControl.listQuery(Seq.empty))
+    intercept[IllegalArgumentException](FlowControl.listQuery(Seq("a,b")))
+  }
 
   test("Scala conversion matches the reference matrix") {
     cases.foreach { case ((k, e, d, q), want) =>
