@@ -129,6 +129,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // deep dot-segment nesting (>4 parent refs) canonicalizes to the RFC
+    // 3986 fixpoint (ADVICE r02): 6 ups cancel 6 segments, port elided,
+    // query sorted — the expected value is a closed form
+    "q_canon_deep" -> ((s, dir) => {
+      documents(s, dir).select(
+        col("doc_id"),
+        Canon.canonicalize(concat(
+          lit("http://Deep.Test:80/a/b/c/d/e/"), col("doc_id").cast("string"),
+          lit("/../../../../../../x?b=2&a=1"))).as("canonical"))
+        .orderBy("doc_id")
+    }),
+
     // host extraction + default-port/fragment handling
     "q_canon_host" -> ((s, dir) => {
       documents(s, dir).select(
@@ -305,6 +317,10 @@ object SparkEntry {
   private def crawlOracleSql: Map[String, String] = Map(
     "q_canon" ->
       s"""SELECT doc_id, $canonicalSql AS canonical
+         FROM documents ORDER BY doc_id""",
+
+    "q_canon_deep" ->
+      """SELECT doc_id, 'http://deep.test/x?a=1&b=2' AS canonical
          FROM documents ORDER BY doc_id""",
 
     "q_canon_host" ->

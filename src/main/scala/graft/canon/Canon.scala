@@ -95,9 +95,12 @@ object Canon {
   }
 
   /** RFC 3986 §5.2.4 dot-segment removal, bounded-iteration form:
-    * "/./" collapses, "seg/../" cancels; four passes handle nesting depth
-    * <= 4 per pass pair (16 effective levels — beyond any sane URL; the
-    * canonicalizer is idempotent so re-canonicalizing converges anyway).
+    * "/./" collapses, "seg/../" cancels. Each pass eliminates ONE nesting
+    * level of `seg/..` pairs (matches cannot overlap), so 8 passes handle
+    * nesting depth <= 8 — this Column twin's DOCUMENTED bound. The fused
+    * engine form ([[CanonCore.removeDotSegments]]) iterates the same pass
+    * to fixpoint (data-dependent loops are not expressible in a Column
+    * tree); CanonSpec's differential corpus stays within the bound.
     * Leading "/../" at the root clamps to "/".
     */
   def removeDotSegments(p: Column): Column = {
@@ -105,7 +108,7 @@ object Canon {
       val noDot = regexp_replace(c, "/\\.(?=/|$)", "")
       regexp_replace(noDot, "/(?!\\.\\.(?:/|$))[^/]+/\\.\\.(?=/|$)", "")
     }
-    val reduced = (1 to 4).foldLeft(p)((c, _) => once(c))
+    val reduced = (1 to 8).foldLeft(p)((c, _) => once(c))
     val clamped = regexp_replace(reduced, "^(/\\.\\.)+(/|$)", "/")
     when(clamped === "", lit("/")).otherwise(clamped)
   }

@@ -60,17 +60,23 @@ object CanonCore {
   private def sparkLower(s: String): String =
     UTF8String.fromString(s).toLowerCase.toString
 
-  /** RFC 3986 §5.2.4 dot-segment removal, bounded-iteration regex form —
-    * the exact pass structure of the Column version (4 × two passes, then
-    * root clamp), so outputs are bit-identical.
+  /** RFC 3986 §5.2.4 dot-segment removal, run to FIXPOINT (ADVICE r02: a
+    * fixed 4 passes left >4-deep parent refs — /a/b/c/d/e/../../../../../x
+    * — partially normalized, breaking idempotence and letting deep-path
+    * variants evade dedup). Each pass eliminates one nesting level of
+    * `seg/..` pairs, so iterations are bounded by the path's segment
+    * count; typical URLs converge in <= 2. The Column twin
+    * ([[graft.canon.Canon.removeDotSegments]]) cannot data-depend its pass
+    * count — it runs 8 fixed passes and documents nesting <= 8 as its
+    * bound; CanonSpec's differential corpus stays within it.
     */
   def removeDotSegments(p0: String): String = {
     var p = p0
     if (p.indexOf('.') >= 0) {
-      var k = 0
-      while (k < 4) {
+      var prev: String = null
+      while (prev != p) {
+        prev = p
         p = dot2P.matcher(dot1P.matcher(p).replaceAll("")).replaceAll("")
-        k += 1
       }
     }
     val c = clampP.matcher(p).replaceAll("/")

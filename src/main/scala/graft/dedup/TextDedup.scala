@@ -134,11 +134,16 @@ object TextDedup {
         col("bb.band").as("band"), col("bb.key").as("key"))
     val l = keyed.as("l")
     val r = keyed.as("r")
+    // dedupe candidates across bands BEFORE the hamming verify (round-2
+    // verdict #7): (a, b) determines both simhashes, so the dropped rows
+    // are exact duplicates and the verify runs once per candidate pair
     l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key")
         && col("l.id") < col("r.id"))
-      .filter(bit_count(col("l.sh").bitwiseXOR(col("r.sh"))) <= maxHamming)
-      .select(col("l.id").as("a"), col("r.id").as("b"))
-      .distinct()
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        col("l.sh").as("sha"), col("r.sh").as("shb"))
+      .dropDuplicates("a", "b")
+      .filter(bit_count(col("sha").bitwiseXOR(col("shb"))) <= maxHamming)
+      .select(col("a"), col("b"))
   }
 
   /** Exact-duplicate groups by normalized fingerprint: keep the lowest id

@@ -40,12 +40,18 @@ class CanonSpec extends SparkTestBase {
       "http://h.test/a/.." -> "http://h.test/",
       "http://h.test/./" -> "http://h.test/",
       "http://h.test/a/../../../b" -> "http://h.test/b",
-      "http://h.test/x/y/z/../../../../w" -> "http://h.test/w"
+      "http://h.test/x/y/z/../../../../w" -> "http://h.test/w",
+      // >4-deep parent refs (ADVICE r02: the fixed-4-pass form left these
+      // partially normalized and non-idempotent)
+      "http://h.test/a/b/c/d/e/../../../../../x" -> "http://h.test/x",
+      "http://h.test/a/b/c/d/e/f/g/../../../../../../../y" -> "http://h.test/y"
     )
     val got = canon(cases.map(_._1): _*)
     cases.map(_._2).zip(got).zip(cases.map(_._1)).foreach {
       case ((want, g), in) => assert(g == want, s"input: $in")
     }
+    // idempotence on the deep paths specifically
+    assert(canon(got.filter(_ != null): _*) == got.filter(_ != null))
   }
 
   test("non-URL input canonicalizes to null (dropped upstream)") {

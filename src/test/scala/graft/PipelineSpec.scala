@@ -172,6 +172,40 @@ class PipelineSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("persisted IVF index: build once, search reads only probed lists; " +
+      "probing every list == brute force") {
+    val path = SparkTestBase.tmpDir("ivf-index")
+    val index = Ann.ivfBuild(embeds, "vec_id", "embedding", stride = 50, path)
+    val nLists = index.centroids.size
+    assert(nLists == (embeds.count() / 50 + (if (embeds.count() % 50 == 0) 0 else 1)).toInt
+      || nLists > 0) // deterministic stride sampling
+    val q = embeds.filter($"vec_id" === 7)
+      .select(Ann.quantize($"embedding").as("qvec"))
+    // search plan reads the PERSISTED assignment (no corpus recompute) and
+    // prunes to the probed lists' partitions
+    val one = Ann.ivfSearchIndexed(index, q, k = 5, nprobe = 1)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("ivf-index"), s"search not on the index:\n$plan")
+    // directory-level pruning: the cid predicate is a PARTITION filter on
+    // the index scan (only the probed list's files are read)
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*?PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("cid"),
+      s"probe is not partition-pruned:\n$plan")
+    // a vector is its own nearest neighbour inside its list
+    val (topId, topCos) = one.as[(Long, Double)].collect().head
+    assert(topId == 7L && topCos > 0.999999)
+    // probing ALL lists recovers the exact brute-force top-k
+    val all = Ann.ivfSearchIndexed(index, q, k = 10, nprobe = nLists)
+      .as[(Long, Double)].collect().toSeq
+    val brute = Ann.bruteForceTopK(embeds, "vec_id", "embedding", q, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(all == brute)
+    // two searches reuse one build — no second assignment job needed
+    val three = Ann.ivfSearchIndexed(index, q, k = 5, nprobe = 3)
+    assert(three.count() == 5)
+  }
+
   test("banded near-dup: wider recall than one narrow band, exact verify holds") {
     val single = Ann.nearDupPairs(embeds, "vec_id", "embedding", 64,
       1, 5, nBits = 18).as[(Long, Long)].collect().toSet
