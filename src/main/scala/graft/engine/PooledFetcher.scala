@@ -121,11 +121,19 @@ class PooledFetcher(
             outcome = Right(ConnectionPool.withConnection(id, b, ps)(_.fetch(url)))
             done = true
           } catch {
-            case _: Throwable if attempt < retries =>
+            // NonFatal ONLY (ADVICE r02): InterruptedException must
+            // propagate (with the flag restored) so Spark task-kill
+            // cancels promptly, and fatal JVM errors (OOM etc.) must
+            // never be masked as a page-level 503
+            case e: InterruptedException =>
+              Thread.currentThread().interrupt()
+              throw e
+            case scala.util.control.NonFatal(_) if attempt < retries =>
               ConnectionPool.statsFor(id).retries.incrementAndGet()
               attempt += 1
               if (backoff > 0) Thread.sleep(backoff << (attempt - 1))
-            case _: Throwable => // exhausted: 503 -> engine holds, job lives
+            case scala.util.control.NonFatal(_) =>
+              // exhausted: 503 -> engine holds, job lives
               outcome = Left(503)
               done = true
           }

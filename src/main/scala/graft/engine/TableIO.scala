@@ -198,13 +198,26 @@ object TableIO {
 
   /** Parse one ledger object out of a manifest this module wrote (values
     * are ints, keys are jsonEscape'd — a full JSON parser is not needed).
+    *
+    * The scan is ANCHORED inside the real `"ledgers"` object (ADVICE r02:
+    * metrics_by_tag serializes BEFORE the ledgers and its keys are user
+    * route names — a route literally tagged "defer" emitted an earlier
+    * `"defer":{...}` and resume restored a garbage ledger). The anchor is
+    * the LAST `"ledgers":{` — safe because ledger/tag KEYS are
+    * brace-escaped by [[jsonEscape]] and ledger VALUES are ints, so the
+    * real ledgers object (written after metrics_by_tag) can never be
+    * followed by another occurrence; within the anchored scope, only
+    * genuine ledger objects can match `"<name>":{`.
     */
   private def parseLedger(manifest: String, name: String): Map[String, Int] = {
+    val anchor = manifest.lastIndexOf("\"ledgers\":{")
+    if (anchor < 0) return Map.empty
+    val scope = manifest.substring(anchor)
     val tag = s""""$name":{"""
-    val start = manifest.indexOf(tag)
+    val start = scope.indexOf(tag)
     if (start < 0) return Map.empty
-    val body = manifest.substring(start + tag.length,
-      manifest.indexOf('}', start + tag.length))
+    val body = scope.substring(start + tag.length,
+      scope.indexOf('}', start + tag.length))
     if (body.isEmpty) Map.empty
     else {
       val entry = """"((?:[^"\\]|\\.)*)":(-?\d+)""".r

@@ -74,9 +74,28 @@ object StreamOps {
   case class Discovered(ts: Timestamp, url: String)
 
   /** Per-host scheduler state carried across micro-batches: the host's
-    * seen canonical set (exact dedup) and its crawl-delay deadline.
+    * seen URL-HASH set and its crawl-delay deadline.
+    *
+    * Hashes, not canonical strings (round-2 verdict #10 / ADVICE r02: the
+    * full string set grew without bound and re-serialized per batch):
+    * 8 bytes per URL, the same xxhash64(canonical) key the batch tier
+    * dedups on ([[graft.canon.Canon.urlHash]] — seed 42), so batch and
+    * stream agree on identity. State still grows with a host's unique-URL
+    * count — run with the RocksDB state store provider
+    * (spark.sql.streaming.stateStore.providerClass =
+    * ...state.RocksDBStateStoreProvider, exercised by StreamingSpec) so
+    * state spills off-heap/disk instead of living in executor memory; for
+    * hosts beyond RAM-scale URL counts, delegate exactness to the batch
+    * seen table and keep only a recent-window set here.
     */
-  case class HostSchedState(seen: Set[String], notBefore: Long)
+  case class HostSchedState(seen: Set[Long], notBefore: Long)
+
+  /** xxhash64(canonical, seed 42) — bit-identical to the batch tier's
+    * partition/dedup key (Spark's xxhash64 expression).
+    */
+  def urlHash64(canonical: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+      org.apache.spark.unsafe.types.UTF8String.fromString(canonical), 42L)
 
   /** One scheduling decision; action in
     * {scheduled, duplicate, delayed, robots, invalid, over_budget}.
@@ -130,14 +149,14 @@ object StreamOps {
               val t = d.ts.getTime
               val action =
                 if (canon == null) "invalid"
-                else if (st.seen.contains(canon)) "duplicate"
+                else if (st.seen.contains(urlHash64(canon))) "duplicate"
                 else if (r.disallow.exists(p =>
                   p.nonEmpty && pathOf(canon).startsWith(p))) "robots"
                 else if (t < st.notBefore) "delayed"
                 else if (budget <= 0) "over_budget"
                 else {
                   budget -= 1
-                  st = HostSchedState(st.seen + canon,
+                  st = HostSchedState(st.seen + urlHash64(canon),
                     if (r.crawlDelayMs > 0)
                       math.max(st.notBefore, t) + r.crawlDelayMs
                     else st.notBefore)

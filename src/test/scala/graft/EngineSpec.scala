@@ -339,6 +339,24 @@ class EngineSpec extends SparkTestBase {
     assert(TableIO.latestCompletedRound(r.workDir) == r.rounds - 1)
   }
 
+  test("ledger parse survives hostile route names (ADVICE r02)") {
+    // routes literally named "defer" / "ledgers" / "host_not_before"
+    // serialize into metrics_by_tag BEFORE the ledgers object — the parse
+    // must anchor on the real object, not the first lookalike
+    val dir = SparkTestBase.tmpDir("hostile-manifest")
+    val m = graft.model.RoundMetrics(3, 10, 10, 20, 10, 9, 1, 5L)
+    TableIO.writeManifest(dir, 3, TableIO.manifestJson(3,
+      Seq(TableIO.TableStat("scheduled", 10, Seq.empty)), m,
+      completed = true,
+      deferLedger = Map("x" -> 5, "host_not_before" -> 7),
+      hostNotBefore = Map("h.test" -> 9),
+      byTag = Map("defer" -> ((1L, 2L)), "ledgers" -> ((3L, 4L)),
+        "host_not_before" -> ((5L, 6L)))))
+    val (defer, hnb) = TableIO.readLedgers(dir, 3)
+    assert(defer == Map("x" -> 5, "host_not_before" -> 7), defer)
+    assert(hnb == Map("h.test" -> 9), hnb)
+  }
+
   test("three-level seq prefix sum == two-level, no single-partition stage") {
     // skewed synthetic candidates: parent p has (p % 37) + 1 children,
     // parents not contiguous (gaps + seeds at -1) — exercises bucketing

@@ -44,6 +44,10 @@ class StreamingSpec extends SparkTestBase {
     val rules = Map(
       "slow.test" -> HostRules(Seq.empty, crawlDelayMs = 30000L, batchBudget = 10),
       "tight.test" -> HostRules(Seq("/private"), 0L, batchBudget = 1))
+    // production state-store discipline: RocksDB provider (hashed seen
+    // keys spill off-heap/disk instead of growing executor memory)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val q = StreamOps.scheduleStream(src.toDS(), rules, defaultBudget = 100)
       .toDF().writeStream.format("memory").queryName("sched")
       .outputMode("update").start()
