@@ -22,6 +22,33 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    // seq mode: the three-level FIFO-seq prefix sum at 10^7+ PARENTS
+    // (round-2 verdict #3 done-criterion). LEVELS=2 runs the old global
+    // window for comparison; both verify the dense [0, total) contract.
+    if (sys.env.get("SPARK_GRAFT_PROBE_MODE").contains("seq")) {
+      val levels = sys.env.getOrElse("SPARK_GRAFT_PROBE_LEVELS", "3").toInt
+      val cand = spark.range(n).select(
+        (col("id") * 3 - 1).as("parentSeq"),
+        explode(sequence(lit(0), (col("id") % 3).cast("int")))
+          .as("emissionIdx"))
+      val caches = scala.collection.mutable.ListBuffer
+        .empty[org.apache.spark.sql.DataFrame]
+      val t0 = System.nanoTime()
+      val out = graft.engine.CrawlEngine.assignSeq(cand, 0L,
+        broadcastOffsets = false,
+        rangeBuckets = if (levels >= 3) cpus.toInt * 8 else 0,
+        roundCaches = Some(caches))
+      val Array(cnt, mx) = out.agg(count(lit(1)), max(col("seq")))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      val secs = (System.nanoTime() - t0) / 1e9
+      require(mx == cnt - 1, s"seq not dense: max=$mx rows=$cnt")
+      caches.foreach(_.unpersist(blocking = false))
+      println(f"""{"probe":"assign_seq","parents":$n,"rows":$cnt,"levels":$levels,"sec":$secs%.1f,"rows_per_sec":${cnt / secs}%.0f,"cpus":$cpus}""")
+      spark.stop()
+      return
+    }
+
     val t0 = System.nanoTime()
     val id = col("id")
     val messy = concat(

@@ -78,6 +78,29 @@ class FlowControlSpec extends SparkTestBase {
     assert(out.toSeq == Seq(7))
   }
 
+  test("Tag::Rehash(u64) convention: \"#<u64>\" string tags route, defer " +
+      "and ledger-roundtrip (SURVEY §1.1, request_extend.rs:39-84)") {
+    import graft.router.{Handler, Router}
+    val router = Router(Map("#42" -> Handler.linkFollower(priority = lit(9))))
+    val fetched = Seq(("http://a.test/x", "#42"), ("http://a.test/y", "zzz"))
+      .toDF("canonical", "tag")
+      .withColumn("spans", typedlit(Seq(("link", "t", "http://a.test/c", 0)))
+        .cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>"))
+      .withColumn("status", lit(200))
+    val out = router(fetched)
+      .select($"tag", size($"children").as("n"))
+      .as[(String, Int)].collect().toMap
+    assert(out("#42") == 1) // rehash tag dispatches to its route
+    assert(out("zzz") == 0) // miss -> fallback (continue, no children)
+    // rehash tags survive the manifest ledger roundtrip
+    val dir = SparkTestBase.tmpDir("rehash-ledger")
+    val m = graft.model.RoundMetrics(0, 1, 1, 0, 1, 1, 0, 1L)
+    graft.engine.TableIO.writeManifest(dir, 0,
+      graft.engine.TableIO.manifestJson(0, Seq.empty, m, completed = true,
+        deferLedger = Map("#42" -> 2)))
+    assert(graft.engine.TableIO.readLedgers(dir, 0)._1 == Map("#42" -> 2))
+  }
+
   test("success accounting: success = continue|wait (metric.rs:126-155)") {
     val got = Seq("continue", "wait", "skip", "hold", "fail").toDF("o")
       .select(FlowControl.isSuccess($"o")).as[Boolean].collect().toSeq
