@@ -67,6 +67,22 @@ object SparkEntry {
     */
   private val edgeMults: Seq[(Long, Long)] = Seq((7L, 3L), (13L, 5L), (31L, 11L))
 
+  // ---- Corpus LCG spec as DuckDB SQL (for q_spans_seq) ----
+  // mix(x) = (x*A + C) % M with A=1103515245, C=12345, M=2^31;
+  // mix2(x, salt) = mix(mix(x % M) + salt). All intermediates < 2^62.
+  private def mix2Sql(x: String, salt: Long): String =
+    s"(((((($x) % 2147483648) * 1103515245 + 12345) % 2147483648) + $salt)" +
+      " * 1103515245 + 12345) % 2147483648"
+  private def corpusHostSql(j: String): String =
+    s"(CASE WHEN ${mix2Sql(j, 1)} % 100 < 25 THEN 0" +
+      s" ELSE ${mix2Sql(j, 2)} % 50 END)"
+  private def corpusUrlSql(j: String): String =
+    s"concat('http://h', CAST(${corpusHostSql(j)} AS VARCHAR)," +
+      s" '.test/page/', CAST(($j) AS VARCHAR))"
+  private def nTextSql(i: String): String = s"(1 + ${mix2Sql(i, 5)} % 3)"
+  private def nMediaSql(i: String): String = s"(${mix2Sql(i, 7)} % 2)"
+  private def outDegSql(i: String): String = s"(${mix2Sql(i, 3)} % 7)"
+
   /** documents as an interleaved-docs corpus: one text span (the real
     * text), media span for long docs, plus the 3 link spans.
     */
@@ -159,6 +175,38 @@ object SparkEntry {
       val seen = frontier.filter(col("doc_id") % 3 === 0)
         .select(col("urlHash"))
       Seen.exactAntiJoin(frontier, seen)
+        .select(col("doc_id"), col("canonical")).orderBy("doc_id")
+    }),
+
+    // the input_hint's PER-ROW invariant, as a driver gate: the engine's
+    // interleaved corpus (graft.corpus.Corpus — the table every crawl
+    // fetches from) exploded to one row per span, gated against a DuckDB
+    // re-derivation of the same 31-bit-LCG spec. Pins span-sequence
+    // equality (kind, text, media_ref, order) end to end.
+    "q_spans_seq" -> ((s, dir) => {
+      val n = documents(s, dir).count()
+      graft.corpus.Corpus.docs(s, graft.corpus.Corpus.Spec(nDocs = n))
+        .select(col("doc_id"), posexplode(col("spans")).as(Seq("ord", "sp")))
+        .select(col("doc_id"), col("sp.kind").as("kind"),
+          col("sp.text").as("text"), col("sp.media_ref").as("media_ref"),
+          col("sp.offset").as("offset"))
+        .orderBy("doc_id", "offset")
+    }),
+
+    // cuckoo tier of the URL-seen filter (north rule: "bloom/cuckoo"):
+    // sharded cuckoo prefilter -> exact anti-join on the maybe-seen side.
+    // The oracle is the plain anti-join — the gate pins the prefilter's
+    // exactness contract (no false negatives at any fpp).
+    "q_dedup_cuckoo" -> ((s, dir) => {
+      val frontier = documents(s, dir).select(
+        col("doc_id"),
+        Canon.canonicalize(messyUrl(col("doc_id"))).as("canonical"))
+        .withColumn("urlHash", Canon.urlHash(col("canonical")))
+      val seen = frontier.filter(col("doc_id") % 3 === 0)
+        .select(col("urlHash"))
+      val cuckoos = graft.dedup.CuckooFilter.buildSharded(seen, 4, 100000L)
+      val (defNew, maybe) = Seen.bloomPrefilter(frontier, cuckoos, 4)
+      defNew.unionByName(Seen.exactAntiJoin(maybe, seen))
         .select(col("doc_id"), col("canonical")).orderBy("doc_id")
     }),
 
@@ -330,6 +378,41 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
 
     "q_dedup_seen" ->
+      s"""SELECT doc_id, $canonicalSql AS canonical
+         FROM documents d
+         WHERE NOT EXISTS (SELECT 1 FROM documents s
+                           WHERE s.doc_id % 3 = 0 AND s.doc_id = d.doc_id)
+         ORDER BY doc_id""",
+
+    // DuckDB's generate_series cannot take lateral column bounds: generate
+    // the max-width series (nText<=3, nMedia<=1, outDeg<=6) and filter.
+    // "offset" is a DuckDB reserved word — quoted so the result column
+    // matches the Spark side's name for the hash compare.
+    "q_spans_seq" -> {
+      val n = "(SELECT count(*) FROM documents)"
+      s"""WITH ids AS (SELECT doc_id AS i FROM documents),
+          spans AS (
+            SELECT i, CAST(g AS BIGINT) AS ord, 'text' AS kind,
+                   concat('t', CAST(${mix2Sql("i * 7 + g", 6)} AS VARCHAR))
+                     AS text,
+                   CAST(NULL AS VARCHAR) AS media_ref
+            FROM ids, generate_series(0, 2) t(g) WHERE g < ${nTextSql("i")}
+            UNION ALL
+            SELECT i, ${nTextSql("i")} + g, 'media',
+                   concat('alt', CAST(${mix2Sql("i * 11 + g", 8)} AS VARCHAR)),
+                   concat('m://b/', CAST(${mix2Sql("i * 13 + g", 9)} AS VARCHAR))
+            FROM ids, generate_series(0, 0) m(g) WHERE g < ${nMediaSql("i")}
+            UNION ALL
+            SELECT i, ${nTextSql("i")} + ${nMediaSql("i")} + g, 'link',
+                   concat('anchor', CAST(g AS VARCHAR)),
+                   ${corpusUrlSql(s"${mix2Sql("i * 31 + g", 4)} % $n")}
+            FROM ids, generate_series(0, 5) l(g) WHERE g < ${outDegSql("i")})
+          SELECT ${corpusUrlSql("i")} AS doc_id, kind, text, media_ref,
+                 CAST(ord AS INT) AS "offset"
+          FROM spans ORDER BY doc_id, "offset""""
+    },
+
+    "q_dedup_cuckoo" ->
       s"""SELECT doc_id, $canonicalSql AS canonical
          FROM documents d
          WHERE NOT EXISTS (SELECT 1 FROM documents s

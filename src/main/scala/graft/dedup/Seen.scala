@@ -140,13 +140,35 @@ object Seen {
   * and no cluster-wide invalidation protocol needed.
   */
 object Filters {
+
+  /** Common probe face over both approximate-membership tiers the north
+    * rule names (bloom / cuckoo): "true" = maybe-seen, "false" =
+    * DEFINITELY new. Both implementations uphold no-false-negatives.
+    */
+  sealed trait ProbeFilter { def mightContain(hash: Long): Boolean }
+  private final class BloomProbe(f: BloomFilter) extends ProbeFilter {
+    def mightContain(hash: Long): Boolean = f.mightContainLong(hash)
+  }
+  private final class CuckooProbe(f: CuckooFilter) extends ProbeFilter {
+    def mightContain(hash: Long): Boolean = f.mightContain(hash)
+  }
+
   private val cache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[Array[Byte], BloomFilter]())
-  def deserialize(bytes: Array[Byte]): BloomFilter = {
+    new java.util.WeakHashMap[Array[Byte], ProbeFilter]())
+
+  /** Dispatch on the stream's first byte: [[CuckooFilter.serialize]]
+    * streams start with 'C' (0x43); Spark BloomFilter streams start with
+    * the big-endian version int 1 (first byte 0x00).
+    */
+  def deserialize(bytes: Array[Byte]): ProbeFilter = {
     val hit = cache.get(bytes)
     if (hit != null) hit
     else {
-      val f = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+      val f: ProbeFilter =
+        if (bytes.nonEmpty && bytes(0) == 'C'.toByte)
+          new CuckooProbe(CuckooFilter.deserialize(bytes))
+        else new BloomProbe(
+          BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
       cache.put(bytes, f)
       f
     }
@@ -165,7 +187,7 @@ object Filters {
     val it = family.iterator
     while (it.hasNext) {
       val bytes = it.next().value.getOrElse(shard, null)
-      if (bytes != null && deserialize(bytes).mightContainLong(hash))
+      if (bytes != null && deserialize(bytes).mightContain(hash))
         return true
     }
     false

@@ -57,11 +57,21 @@ object CrawlEngine {
     java.util.concurrent.Executors.newFixedThreadPool(4,
       r => { val t = new Thread(r, "graft-sink"); t.setDaemon(true); t }))
 
+  /** Thrown by the engine's own mid-round polls; carries no stack (it is
+    * pure control flow on the driver, thrown at most once per crawl).
+    */
+  private final class MidRoundStop extends RuntimeException(null, null, false, false)
+
   case class RunResult(
       rounds: Int,
       totalScheduled: Long,
       metrics: Seq[RoundMetrics],
-      workDir: String) {
+      workDir: String,
+      /** true when the crawl was cancelled INSIDE a round (cancelMidRound):
+        * the partial round left no tables and no manifest; resume replays
+        * it from the last committed manifest.
+        */
+      stoppedMidRound: Boolean = false) {
     private def roundDirs(name: String): Seq[String] = {
       val base = java.nio.file.Paths.get(workDir, name)
       import scala.jdk.CollectionConverters._
@@ -229,6 +239,34 @@ object CrawlEngine {
     val theFetcher = fetcher.getOrElse(
       Fetcher.auto(docs, autoBuckets = cfg.frontierPartitions))
 
+    // Mid-round cancellation (reference CancellationToken, runner.rs:86-88,
+    // 131-144: aborts BETWEEN requests, not only between rounds). All of
+    // this crawl's jobs — including the concurrent sink writes — run in one
+    // job group; a daemon watcher cancels the group's active jobs as soon
+    // as stopSignal fires, so even a long fetch stage is interruptible.
+    // The cancelled round's partials are deleted and its manifest never
+    // commits: the abort is indistinguishable from a crash before commit,
+    // which resume already handles exactly.
+    val jobGroup = s"graft-crawl-${java.util.UUID.randomUUID()}"
+    @volatile var watcherLive = cfg.cancelMidRound
+    def inGroup[T](body: => T): T = {
+      spark.sparkContext.setJobGroup(jobGroup, "graft crawl round",
+        interruptOnCancel = true)
+      body
+    }
+    if (cfg.cancelMidRound) {
+      val w = new Thread(() => {
+        while (watcherLive) {
+          // keep re-cancelling while the signal holds: jobs submitted
+          // after the first cancel (cleanup races) die too
+          if (stopSignal()) spark.sparkContext.cancelJobGroup(jobGroup)
+          Thread.sleep(50)
+        }
+      }, "graft-stop-watcher")
+      w.setDaemon(true)
+      w.start()
+    }
+
     var frontier = resumeState.map(_.frontier)
       .getOrElse(seedCandidates(spark, seeds, cfg.lifo))
     var seen = resumeState.map(_.seen).getOrElse(
@@ -265,11 +303,24 @@ object CrawlEngine {
     var bloomLedger =
       Vector.empty[org.apache.spark.broadcast.Broadcast[Map[Int, Array[Byte]]]]
     def bcast(m: Map[Int, Array[Byte]]) = spark.sparkContext.broadcast(m)
+    // build one sharded family member with the configured filter tier —
+    // bloom or cuckoo (north rule: "partitioned bloom/cuckoo URL-seen
+    // filter"); the probe/broadcast/compaction machinery is shared, the
+    // serialized bytes self-describe (Filters.deserialize dispatch)
+    def buildSeenFilter(df: DataFrame, expectedPerShard: Long) =
+      cfg.seenFilterKind match {
+        case "cuckoo" =>
+          graft.dedup.CuckooFilter.buildSharded(df, cfg.bloomShards,
+            expectedPerShard)
+        case _ =>
+          Seen.buildShardedBlooms(df, cfg.bloomShards, expectedPerShard,
+            cfg.bloomFpp)
+      }
     // on resume, rebuild one family member from the checkpointed seen table
     if (resumeState.isDefined && cfg.dedup && cfg.useBloomPrefilter &&
         nextSeq > 0) {
-      bloomLedger = Vector(bcast(Seen.buildShardedBlooms(seen, cfg.bloomShards,
-        math.max(nextSeq / cfg.bloomShards, 1000L), cfg.bloomFpp)))
+      bloomLedger = Vector(bcast(buildSeenFilter(seen,
+        math.max(nextSeq / cfg.bloomShards, 1000L))))
     }
 
     // politeness fast path: when every budget is effectively unbounded the
@@ -291,8 +342,13 @@ object CrawlEngine {
       else math.max(1, math.min(cfg.frontierPartitions.toLong,
         (rows + cfg.rowsPerBucket - 1) / cfg.rowsPerBucket)).toInt
 
-    var frontierCount = frontier.count()
-    while (frontierCount > 0 && round < cfg.maxRounds && !stopSignal()) {
+    var frontierCount = inGroup(frontier.count())
+    var stopped = false
+    var pinned: Option[DataFrame] = None // persisted fetch, for abort cleanup
+    try {
+    while (frontierCount > 0 && round < cfg.maxRounds && !stopped &&
+        !stopSignal()) try {
+      inGroup(())
       val t0 = System.nanoTime()
 
       // 1. defer enforcement (engine mode only; reference records but
@@ -366,6 +422,8 @@ object CrawlEngine {
         scheduled, workDir, "scheduled", round, "urlHash",
         bucketsFor(frontierCount), cfg.lineageStats)
       seqCaches.foreach(_.unpersist(blocking = false))
+      // mid-round poll #1: abort before paying the fetch
+      if (cfg.cancelMidRound && stopSignal()) throw new MidRoundStop
       val scheduledBack = TableIO.readRound(spark, workDir, "scheduled", round)
       val scheduledCount = schedStat.rows
 
@@ -375,6 +433,7 @@ object CrawlEngine {
       //    it so the corpus is scanned exactly ONCE per round.
       val fetched = theFetcher.fetch(scheduledBack, scheduledCount)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned = Some(fetched)
 
       // 6. route through handlers -> children + outcome columns
       val routed = router(fetched)
@@ -398,6 +457,8 @@ object CrawlEngine {
             .otherwise(1L)).as("f"),
           sum(when(col("status") === 200, 1L).otherwise(0L)).as("ok"))
         .collect()
+      // mid-round poll #2: the fetch is materialized; abort before sinks
+      if (cfg.cancelMidRound && stopSignal()) throw new MidRoundStop
       val byTag = tagRows.map(r =>
         r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
       val succ = tagRows.map(_.getLong(1)).sum
@@ -422,12 +483,12 @@ object CrawlEngine {
         size(filter(col("spans"), s => s("kind") === "media")).as("nMedia"),
         lit(round).as("scrapedRound"),
         col("urlHash"))
-      val fTrace = scala.concurrent.Future(
+      val fTrace = scala.concurrent.Future(inGroup(
         TableIO.writeRoundLite(trace, workDir, "trace", round, "urlHash",
-          bucketsFor(scheduledCount), scheduledCount))(sinkEc)
-      val fRecords = scala.concurrent.Future(
+          bucketsFor(scheduledCount), scheduledCount)))(sinkEc)
+      val fRecords = scala.concurrent.Future(inGroup(
         TableIO.writeRoundLite(records, workDir, "records", round, "urlHash",
-          bucketsFor(n200), n200))(sinkEc)
+          bucketsFor(n200), n200)))(sinkEc)
 
       // 8. defer ledger update from outcomes (apply_defer semantics:
       //    notBefore[key] = max(existing, now) + d, in round units).
@@ -514,13 +575,13 @@ object CrawlEngine {
 
       // children typically outnumber scheduled by the mean out-degree;
       // cheap proxy (exact count not yet known): scheduled x 8
-      val fFront = scala.concurrent.Future(
+      val fFront = scala.concurrent.Future(inGroup(
         TableIO.writeRound(nextFrontier, workDir, "frontier",
           round, "urlHash", bucketsFor(scheduledCount * 8),
-          cfg.lineageStats))(sinkEc)
-      val fSeen = scala.concurrent.Future(
+          cfg.lineageStats)))(sinkEc)
+      val fSeen = scala.concurrent.Future(inGroup(
         TableIO.writeRound(newSeen, workDir, "seen", round,
-          "urlHash", bucketsFor(scheduledCount), cfg.lineageStats))(sinkEc)
+          "urlHash", bucketsFor(scheduledCount), cfg.lineageStats)))(sinkEc)
       import scala.concurrent.duration.Duration
       val frontStat = scala.concurrent.Await.result(fFront, Duration.Inf)
       val seenStat = scala.concurrent.Await.result(fSeen, Duration.Inf)
@@ -555,10 +616,9 @@ object CrawlEngine {
           // and the superseded broadcasts are destroyed (their executor
           // cache entries age out via the weak-keyed Filters cache)
           val totalSeen = nextSeq + scheduledCount
-          val merged = bcast(Seen.buildShardedBlooms(
+          val merged = bcast(buildSeenFilter(
             TableIO.readDeltas(spark, workDir, "seen", round),
-            cfg.bloomShards,
-            math.max(totalSeen / cfg.bloomShards, 1000L), cfg.bloomFpp))
+            math.max(totalSeen / cfg.bloomShards, 1000L)))
           val old = bloomLedger
           bloomLedger = Vector(merged)
           old.foreach(_.destroy())
@@ -566,8 +626,7 @@ object CrawlEngine {
           // bloom ledger delta: aggregate only this round's new hashes into
           // a delta-sized family member (probed alongside earlier rounds')
           val perShard = math.max(scheduledCount / cfg.bloomShards, 1000L)
-          bloomLedger :+= bcast(Seen.buildShardedBlooms(newSeen,
-            cfg.bloomShards, perShard, cfg.bloomFpp))
+          bloomLedger :+= bcast(buildSeenFilter(newSeen, perShard))
         }
       }
 
@@ -580,19 +639,45 @@ object CrawlEngine {
         TableIO.manifestJson(round, Seq(schedStat, frontStat, seenStat), m,
           completed = true, deferLedger, hostNotBefore, byTag))
       metrics :+= m
+      // the round is durable from here: leave the cancellable job group so
+      // a stop signal racing the (trivial) advance steps below cannot
+      // cancel them — a cancel here would claim a COMMITTED round aborted.
+      // Next iteration re-enters the group via inGroup(()).
+      spark.sparkContext.clearJobGroup()
 
       // 12. advance (read back from checkpoint: plan restarts at scan)
       fetched.unpersist(blocking = false)
+      pinned = None
       theFetcher.endRound()
       frontier = TableIO.readRound(spark, workDir, "frontier", round)
       seen = TableIO.readDeltas(spark, workDir, "seen", round)
       nextSeq += scheduledCount
       frontierCount = frontStat.rows
       round += 1
+    } catch {
+      // mid-round abort: our own poll (MidRoundStop) or a Spark job the
+      // watcher cancelled. Anything that fails while the stop signal is
+      // NOT set is a real error and propagates.
+      case _: Throwable if cfg.cancelMidRound && stopSignal() =>
+        pinned.foreach(_.unpersist(blocking = false))
+        pinned = None
+        theFetcher.endRound()
+        // belt-and-braces: never delete a committed round (the clearJobGroup
+        // above makes a committed-round cancel unreachable, but a custom
+        // fetcher/stop racing in its own jobs could still land here)
+        if (TableIO.latestCompletedRound(workDir) < round)
+          TableIO.deleteRoundDirs(workDir, round)
+        stopped = true
+    }
+    } finally {
+      // kill the watcher even when a non-stop error propagates — it must
+      // never outlive this run and cancel a later crawl's jobs
+      watcherLive = false
     }
 
+    spark.sparkContext.clearJobGroup()
     if (fetcher.isEmpty) theFetcher.close()
-    RunResult(round, nextSeq, metrics, workDir)
+    RunResult(round, nextSeq, metrics, workDir, stoppedMidRound = stopped)
   }
 
   /** Entry point 2 (reference Client::run_once, process/client.rs:132-134):

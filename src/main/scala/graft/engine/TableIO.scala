@@ -267,4 +267,24 @@ object TableIO {
   def readManifest(dir: String, round: Int): String =
     new String(Files.readAllBytes(
       Paths.get(dir, "_manifests", s"round-$round.json")), StandardCharsets.UTF_8)
+
+  /** Remove every table's `round=<k>` directory for an UNCOMMITTED round
+    * (mid-round abort cleanup). Without this, `RunResult.trace/records` —
+    * which list round dirs directly — would surface rows from a round
+    * whose manifest never committed. Rounds with a committed manifest are
+    * never deleted (the atomic unit stays the manifest commit).
+    */
+  def deleteRoundDirs(dir: String, round: Int): Unit = {
+    require(round > latestCompletedRound(dir),
+      s"refusing to delete committed round $round")
+    Seq("scheduled", "trace", "records", "frontier", "seen").foreach { t =>
+      val p = Paths.get(dir, t, s"round=$round")
+      if (Files.isDirectory(p)) {
+        val s = Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+        finally s.close()
+      }
+    }
+  }
 }

@@ -160,6 +160,11 @@ case class CrawlConfig(
     enforceAbort: Boolean = false,
     msPerRound: Long = 1000L,
     useBloomPrefilter: Boolean = true,
+    /** approximate seen-prefilter tier: "bloom" (Spark sketch) or "cuckoo"
+      * ([[graft.dedup.CuckooFilter]] — the north rule's other named
+      * filter; supports delete, ~fewer bits/key at equal fpp). Exactness
+      * never depends on the choice (the anti-join is the exact tier). */
+    seenFilterKind: String = "bloom",
     /** compact the seen-delta family every K rounds (0 = off): bounds the
       * read-path union fan-in on long crawls; also merges the bloom family
       * into one right-sized filter (flat probe cost on long crawls).
@@ -181,6 +186,16 @@ case class CrawlConfig(
       * order is being reported — in FIFO production crawls it is dead
       * weight on every frontier/trace row; disable to cut round I/O. */
     trackPath: Boolean = true,
+    /** MID-round cancellation (reference CancellationToken /
+      * AbortHandle.abort, runner.rs:86-88,131-144, which aborts BETWEEN
+      * requests): when true, `stopSignal` is additionally polled at stage
+      * boundaries inside a round AND a watcher thread actively cancels the
+      * crawl's running Spark jobs, so even a long fetch stage is
+      * interruptible. The aborted round's partial tables are deleted and
+      * its manifest never commits — resume replays it identically, so
+      * stop-anywhere/resume-exactly still holds. false = round-boundary
+      * stops only (round 2 behavior). */
+    cancelMidRound: Boolean = true,
     /** target rows per hash bucket when writing round tables: the bucket
       * count ADAPTS to round size, capped at frontierPartitions. Crawl
       * rounds span orders of magnitude (10^3 seeds -> 10^7+ steady state);

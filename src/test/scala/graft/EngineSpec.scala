@@ -324,6 +324,76 @@ class EngineSpec extends SparkTestBase {
     assert(key(straight) == key(resumed))
   }
 
+  test("cuckoo seen tier: trace identical to the bloom tier") {
+    val cfg = CrawlConfig(maxRounds = 5, maxDepth = 4,
+      frontierPartitions = 4, bloomShards = 4, bloomExpectedItems = 10000L)
+    val (_, viaBloom) = runEngine(cfg)
+    val (_, viaCuckoo) = runEngine(cfg.copy(seenFilterKind = "cuckoo"))
+    assert(viaBloom.sortBy(_.seq).toSeq == viaCuckoo.sortBy(_.seq).toSeq)
+  }
+
+  test("mid-round cancel: poll aborts before fetch, partials gone, " +
+      "resume == straight-through") {
+    val base = CrawlConfig(maxRounds = 4, maxDepth = 4,
+      frontierPartitions = 4, bloomExpectedItems = 10000L)
+    val dirA = SparkTestBase.tmpDir("mid-straight")
+    val straight = CrawlEngine.run(spark, docsDf, seeds, noRobots,
+      router, base, dirA)
+    val dirB = SparkTestBase.tmpDir("mid-poll")
+    // trips INSIDE round 1: true as soon as round 1's scheduled table is
+    // on disk but its manifest is not — exactly the poll-#1 window
+    val sched1 = java.nio.file.Paths.get(dirB, "scheduled", "round=1")
+    val r = CrawlEngine.run(spark, docsDf, seeds, noRobots, router, base,
+      dirB, stopSignal = () => java.nio.file.Files.isDirectory(sched1))
+    assert(r.stoppedMidRound, "expected a mid-round abort")
+    assert(r.rounds == 1, s"round 0 only, got ${r.rounds}")
+    assert(TableIO.latestCompletedRound(dirB) == 0)
+    // the aborted round left no table dirs (trace()/records() list dirs)
+    assert(!java.nio.file.Files.exists(sched1))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dirB, "trace", "round=1")))
+    val resumed = CrawlEngine.resume(spark, docsDf, seeds, noRobots,
+      router, base, dirB)
+    def key(rr: CrawlEngine.RunResult) = rr.trace(spark)
+      .select($"seq", $"url", $"depth").as[(Long, String, Int)]
+      .collect().sortBy(_._1).toSeq
+    assert(key(straight) == key(resumed))
+  }
+
+  test("mid-round cancel: watcher kills in-flight jobs, resume exact") {
+    val base = CrawlConfig(maxRounds = 4, maxDepth = 4,
+      frontierPartitions = 4, bloomExpectedItems = 10000L)
+    val dirA = SparkTestBase.tmpDir("midw-straight")
+    val straight = CrawlEngine.run(spark, docsDf, seeds, noRobots,
+      router, base, dirA)
+    val dirB = SparkTestBase.tmpDir("midw-cancel")
+    val flag = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // flips the signal from inside round 1's fetch: the watcher thread (or
+    // the post-fetch poll) must abort the round wherever it happens to be
+    val tripping = new graft.engine.Fetcher {
+      private val inner = graft.engine.Fetcher.auto(docsDf, autoBuckets = 4)
+      private var calls = 0
+      def fetch(s: org.apache.spark.sql.DataFrame, n: Long)
+          : org.apache.spark.sql.DataFrame = {
+        calls += 1
+        if (calls >= 2) flag.set(true)
+        inner.fetch(s, n)
+      }
+      override def endRound(): Unit = inner.endRound()
+      override def close(): Unit = inner.close()
+    }
+    val r = CrawlEngine.run(spark, docsDf, seeds, noRobots, router, base,
+      dirB, fetcher = Some(tripping), stopSignal = () => flag.get())
+    assert(r.stoppedMidRound, "expected a mid-round abort")
+    assert(TableIO.latestCompletedRound(dirB) == 0)
+    val resumed = CrawlEngine.resume(spark, docsDf, seeds, noRobots,
+      router, base, dirB)
+    def key(rr: CrawlEngine.RunResult) = rr.trace(spark)
+      .select($"seq", $"url", $"depth").as[(Long, String, Int)]
+      .collect().sortBy(_._1).toSeq
+    assert(key(straight) == key(resumed))
+  }
+
   test("manifest lineage: per-bucket stats present and complete") {
     val cfg = CrawlConfig(maxRounds = 2, maxDepth = 3,
       frontierPartitions = 4, bloomExpectedItems = 10000L)
