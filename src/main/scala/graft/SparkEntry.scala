@@ -233,6 +233,22 @@ object SparkEntry {
       under.select(col("host"), col("doc_id")).orderBy("host", "doc_id")
     }),
 
+    // the full priority-queue ORDER (north star: window-ranked queues
+    // keyed by host/priority/discovery time): varying priority +
+    // discoveryRound — best-first (priority asc, discoveryRound asc,
+    // parentSeq asc) decides who fits the budget, not arrival order
+    "q_priority_rank" -> ((s, dir) => {
+      val frontier = documents(s, dir).select(
+        Canon.host(messyUrl(col("doc_id"))).as("host"),
+        (col("doc_id") % 3).cast("int").as("priority"),
+        (col("doc_id") % 2).cast("int").as("discoveryRound"),
+        col("doc_id").as("parentSeq"), lit(0).as("emissionIdx"),
+        col("doc_id"))
+      val (under, _) = Politeness.budgetRank(frontier, defaultBudget = 3)
+      under.select(col("host"), col("priority"), col("doc_id"))
+        .orderBy("host", "priority", "doc_id")
+    }),
+
     // robots.txt prefix rules (Politeness.robotsFilter): even-source hosts
     // disallow the /docs/1 prefix
     "q_robots_filter" -> ((s, dir) => {
@@ -432,6 +448,18 @@ object SparkEntry {
                     PARTITION BY doc_id % 20 ORDER BY doc_id) AS rk
            FROM documents) t
          WHERE rk <= 2 ORDER BY host, doc_id""",
+
+    "q_priority_rank" ->
+      """SELECT host, priority, doc_id FROM (
+           SELECT concat('src', CAST(doc_id % 20 AS VARCHAR),
+                    '.example.com') AS host,
+                  CAST(doc_id % 3 AS INT) AS priority,
+                  doc_id,
+                  row_number() OVER (
+                    PARTITION BY doc_id % 20
+                    ORDER BY doc_id % 3, doc_id % 2, doc_id) AS rk
+           FROM documents) t
+         WHERE rk <= 3 ORDER BY host, priority, doc_id""",
 
     "q_robots_filter" ->
       s"""SELECT doc_id,

@@ -95,6 +95,28 @@ object PipelineQueries {
         TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // the COMPOSED training-data pipeline, one pass: score (langID +
+    // quality + tokens + fingerprint) -> quality filter -> exact dedup
+    // (first occurrence per fingerprint) -> per-language corpus stats.
+    // Each stage is its own gated operator; this gate pins that they
+    // compose (column contracts, null behavior, aggregate types) the way
+    // a real corpus build would chain them.
+    "q_pipeline_corpus" -> ((s, dir) => {
+      val scored = documents(s, dir).select(
+        col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        // fingerprint as the dedup key (string works fine as urlHash here)
+        TextOps.fingerprint(col("text")).as("urlHash"))
+      val kept = scored.filter(col("quality") >= 1300)
+      val deduped = graft.dedup.Seen.firstOccurrence(kept, col("doc_id"))
+      deduped.groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"))
+        .orderBy("lang_pred")
+    }),
+
     // winnowing (rolling-hash) fingerprints: count + sum digest per doc.
     // STAGED projections (norm -> hashes -> mins): each stage's output is
     // a materialized column, never an expression re-inlined inside the
@@ -306,6 +328,48 @@ object PipelineQueries {
       s"""SELECT doc_id,
             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
           FROM documents ORDER BY doc_id""",
+
+    "q_pipeline_corpus" -> {
+      val scores = TextOps.langMarkers.map { case (l, ms) =>
+        s"(${langScoreSql(ms)}) AS s_$l"
+      }.mkString(", ")
+      val langs = TextOps.langMarkers.map(_._1)
+      val cases = langs.zipWithIndex.map { case (l, i) =>
+        val later = langs.drop(i + 1)
+        val cond =
+          if (later.isEmpty) "TRUE"
+          else later.map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $cond THEN '$l'"
+      }.mkString(" ")
+      val stops = langScoreSql(Seq(" the ", " and ", " of ", " a ", " in "))
+      s"""WITH base AS (
+            SELECT doc_id,
+              CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS alpha,
+              CAST(length(text) AS BIGINT) AS n_chars,
+              CAST(len($toksSql) AS BIGINT) AS n_tok,
+              CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_uniq,
+              ($stops) AS stops,
+              md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+              $scores
+            FROM documents),
+          scored AS (
+            SELECT doc_id, fp, CASE $cases END AS lang_pred,
+              (CASE WHEN n_chars > 0
+                THEN CAST(FLOOR(alpha * 1000.0 / n_chars) AS BIGINT) ELSE 0 END)
+            + (CASE WHEN n_tok > 0
+                THEN CAST(FLOOR(stops * 1000.0 / n_tok) AS BIGINT) ELSE 0 END)
+            + (CASE WHEN n_tok > 0
+                THEN CAST(FLOOR(n_uniq * 1000.0 / n_tok) AS BIGINT) ELSE 0 END)
+                AS quality,
+              n_tok AS n_tokens
+            FROM base),
+          dedup AS (
+            SELECT * FROM scored WHERE quality >= 1300
+            QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
+          SELECT lang_pred, count(*) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+          FROM dedup GROUP BY lang_pred ORDER BY lang_pred"""
+    },
 
     "q_winnow" ->
       s"""WITH nm AS (
