@@ -205,7 +205,13 @@ object CrawlEngine {
       seen: DataFrame,
       nextSeq: Long,
       deferLedger: Map[String, Int],
-      hostNotBefore: Map[String, Int])
+      hostNotBefore: Map[String, Int],
+      /** checkpointed (host, _notBefore) table when the crawl ran in
+        * distributed-ledger mode (CrawlConfig.distributedDelayHosts). */
+      hostLedger: Option[DataFrame] = None,
+      /** round the hostLedger table was written under (for manifest
+        * carry-forward on rounds that schedule nothing). */
+      hostLedgerRound: Option[Int] = None)
 
   /** One full crawl. `docs` is the corpus table (doc_id = canonical URL,
     * spans = interleaved content). Returns per-round metrics; the trace /
@@ -285,15 +291,40 @@ object CrawlEngine {
     // round 1 only enforced crawlDelayMs in the streaming demo.
     var hostNotBefore = resumeState.map(_.hostNotBefore)
       .getOrElse(Map.empty[String, Int])
-    // robots is tiny by construction (one row per host): the delay table
-    // lives on the driver like the tag ledger
+    // one row per host: tiny for most crawls, 10^6-10^8 rows at web
+    // scale. One count() decides the regime; below the threshold the
+    // delay ledger lives on the driver (zero extra jobs per round), above
+    // it everything stays distributed: the delay table is a DataFrame,
+    // the (host, notBefore) ledger a checkpointed round table, splits and
+    // updates are joins. Same arithmetic on both paths (spec-proven
+    // trace equality); robots stops being broadcast past the same bar.
+    val robotsEmpty = robots.isEmpty
+    val delayHostCount: Long =
+      if (robotsEmpty) 0L
+      else robots.toDF().filter(col("crawlDelayMs") > 0).count()
+    val delayDistributed =
+      delayHostCount > math.max(cfg.distributedDelayHosts, 0).toLong
+    val broadcastRobots = !delayDistributed
     val delayRounds: Map[String, Int] =
-      if (robots.isEmpty) Map.empty
+      if (robotsEmpty || delayDistributed || delayHostCount == 0) Map.empty
       else robots.collect().iterator
         .filter(_.crawlDelayMs > 0)
         .map(r => r.host -> math.max(1,
           math.ceil(r.crawlDelayMs.toDouble / cfg.msPerRound).toInt))
         .toMap
+    // distributed-mode delay table: host -> delay in rounds (no collect)
+    val delaysDf: Option[DataFrame] =
+      if (!delayDistributed) None
+      else Some(robots.toDF()
+        .filter(col("crawlDelayMs") > 0)
+        .select(col("host"),
+          greatest(lit(1L),
+            ceil(col("crawlDelayMs") / lit(cfg.msPerRound.toDouble))
+              .cast("long")).as("_dRounds")))
+    var hostLedgerDf: Option[DataFrame] =
+      resumeState.flatMap(_.hostLedger)
+    var lastHostLedgerRound: Option[Int] =
+      resumeState.flatMap(_.hostLedgerRound)
     // bloom ledger = FAMILY of per-round shard maps, each sized to its
     // round's delta (no merge, no fixed oversized buffers — keeps the
     // partial-aggregate shuffle proportional to actual new URLs). Members
@@ -393,14 +424,29 @@ object CrawlEngine {
         }
 
       // 3. robots + crawl-delay + politeness budget
-      val allowed0 = Politeness.robotsFilter(eligible1, robots)
+      val allowed0 = Politeness.robotsFilter(eligible1, robots,
+        broadcastRobots = broadcastRobots)
       // crawl-delay block: hosts inside their delay window carry their
       // candidates to the next round (per-host analogue of the tag defer)
-      val delayedNow = hostNotBefore.filter(_._2 > round).keys.toSeq
       val (allowed, delayBlocked) =
-        if (delayedNow.isEmpty) (allowed0, allowed0.limit(0))
-        else (allowed0.filter(!col("host").isin(delayedNow: _*)),
-          allowed0.filter(col("host").isin(delayedNow: _*)))
+        if (delayDistributed) {
+          hostLedgerDf match {
+            case Some(ledger) =>
+              // join split on host — the same key the budget-rank window
+              // partitions by right after, so the frontier-side exchange
+              // is shared, not added
+              val blocked = ledger.filter(col("_notBefore") > round)
+                .select(col("host"))
+              (allowed0.join(blocked, Seq("host"), "left_anti"),
+                allowed0.join(blocked, Seq("host"), "left_semi"))
+            case None => (allowed0, allowed0.limit(0))
+          }
+        } else {
+          val delayedNow = hostNotBefore.filter(_._2 > round).keys.toSeq
+          if (delayedNow.isEmpty) (allowed0, allowed0.limit(0))
+          else (allowed0.filter(!col("host").isin(delayedNow: _*)),
+            allowed0.filter(col("host").isin(delayedNow: _*)))
+        }
       val (underBudget, overBudget) =
         if (budgetUnbounded) (allowed.drop("_hostBudget"), allowed.limit(0))
         else if (cfg.budgetSalts > 1)
@@ -589,8 +635,32 @@ object CrawlEngine {
       scala.concurrent.Await.result(fRecords, Duration.Inf)
 
       // crawl-delay ledger update: every delay-host scheduled this round
-      // gets notBefore = max(existing, now) + d (runner.rs:289-306)
-      if (delayRounds.nonEmpty && scheduledCount > 0) {
+      // gets notBefore = max(existing, now) + d (runner.rs:289-306). A
+      // scheduled host was necessarily eligible (existing <= round), so
+      // max(existing, round) == round on both paths.
+      if (delayDistributed && scheduledCount > 0) {
+        val updates = scheduledBack
+          .join(delaysDf.get, Seq("host"))
+          .groupBy(col("host"))
+          .agg((lit(round.toLong) + max(col("_dRounds"))).as("_notBefore"))
+        val merged = hostLedgerDf match {
+          case Some(old) =>
+            old.join(updates.select(col("host")), Seq("host"), "left_anti")
+              .unionByName(updates)
+          case None => updates
+        }
+        // prune entries that can never block again (notBefore <= next
+        // round): the ledger stays O(currently-delayed hosts), not
+        // O(all hosts ever scheduled)
+        val pruned = merged.filter(col("_notBefore") > round + 1)
+          .withColumn("_hostHash", xxhash64(col("host")))
+        TableIO.writeRound(pruned, workDir, "hostledger", round,
+          "_hostHash", bucketsFor(delayHostCount), withStats = false)
+        hostLedgerDf = Some(
+          TableIO.readRound(spark, workDir, "hostledger", round)
+            .select(col("host"), col("_notBefore")))
+        lastHostLedgerRound = Some(round)
+      } else if (delayRounds.nonEmpty && scheduledCount > 0) {
         val hostsHit = scheduledBack
           .filter(col("host").isin(delayRounds.keys.toSeq: _*))
           .select(col("host")).distinct().collect().map(_.getString(0))
@@ -637,7 +707,8 @@ object CrawlEngine {
         succ, fail, (System.nanoTime() - t0) / 1000000L)
       TableIO.writeManifest(workDir, round,
         TableIO.manifestJson(round, Seq(schedStat, frontStat, seenStat), m,
-          completed = true, deferLedger, hostNotBefore, byTag))
+          completed = true, deferLedger, hostNotBefore, byTag,
+          hostLedgerRound = lastHostLedgerRound))
       metrics :+= m
       // the round is durable from here: leave the cancellable job group so
       // a stop signal racing the (trivial) advance steps below cannot
@@ -715,9 +786,16 @@ object CrawlEngine {
     val seen = TableIO.readDeltas(spark, workDir, "seen", last)
     val nextSeq = seen.count()
     val (deferLedger, hostNotBefore) = TableIO.readLedgers(workDir, last)
+    // distributed-ledger mode: the manifest points at the checkpointed
+    // (host, notBefore) table instead of carrying an inline map
+    val ledgerRound = TableIO.readHostLedgerRound(workDir, last)
+    val hostLedger = ledgerRound.map(r =>
+      TableIO.readRound(spark, workDir, "hostledger", r)
+        .select(col("host"), col("_notBefore")))
     run(spark, docs, seeds, robots, router, cfg, workDir,
       startRound = last + 1,
       resumeState =
-        Some(ResumeState(frontier, seen, nextSeq, deferLedger, hostNotBefore)))
+        Some(ResumeState(frontier, seen, nextSeq, deferLedger, hostNotBefore,
+          hostLedger, ledgerRound)))
   }
 }

@@ -138,7 +138,11 @@ object TableIO {
       hostNotBefore: Map[String, Int] = Map.empty,
       /** per-route success/failure (reference Metric middleware,
         * metric.rs:126-155); "" = fallback route. */
-      byTag: Map[String, (Long, Long)] = Map.empty
+      byTag: Map[String, (Long, Long)] = Map.empty,
+      /** round whose "hostledger" table holds the DISTRIBUTED crawl-delay
+        * ledger (CrawlConfig.distributedDelayHosts) — the inline
+        * host_not_before map stays empty in that mode. */
+      hostLedgerRound: Option[Int] = None
   ): String = {
     def parts(ps: Seq[PartStat]) = ps.map(p =>
       s"""{"bucket":${p.bucket},"rows":${p.rows},"content_hash":${p.contentHash}}""")
@@ -152,7 +156,9 @@ object TableIO {
       s""""seen_delta":${m.seenDelta},"success":${m.success},"failure":${m.failure},""" +
       s""""wall_ms":${m.wallMs}},"metrics_by_tag":${byTagJson(byTag)},""" +
       s""""ledgers":{"defer":${ledgerJson(deferLedger)},""" +
-      s""""host_not_before":${ledgerJson(hostNotBefore)}},"completed":$completed}"""
+      s""""host_not_before":${ledgerJson(hostNotBefore)}""" +
+      hostLedgerRound.map(r => s""","host_ledger_round":$r""").getOrElse("") +
+      s"""},"completed":$completed}"""
   }
 
   private def byTagJson(m: Map[String, (Long, Long)]): String =
@@ -235,6 +241,18 @@ object TableIO {
     (parseLedger(m, "defer"), parseLedger(m, "host_not_before"))
   }
 
+  /** Round of the distributed crawl-delay ledger table recorded in this
+    * round's manifest, if the crawl ran in distributed-ledger mode.
+    */
+  def readHostLedgerRound(dir: String, round: Int): Option[Int] = {
+    val m = readManifest(dir, round)
+    val anchor = m.lastIndexOf("\"ledgers\":{")
+    if (anchor < 0) return None
+    """"host_ledger_round":(\d+)""".r
+      .findFirstMatchIn(m.substring(anchor))
+      .map(_.group(1).toInt)
+  }
+
   /** Atomic manifest commit: write temp then rename. */
   def writeManifest(dir: String, round: Int, json: String): Unit = {
     val mdir = Paths.get(dir, "_manifests")
@@ -277,7 +295,8 @@ object TableIO {
   def deleteRoundDirs(dir: String, round: Int): Unit = {
     require(round > latestCompletedRound(dir),
       s"refusing to delete committed round $round")
-    Seq("scheduled", "trace", "records", "frontier", "seen").foreach { t =>
+    Seq("scheduled", "trace", "records", "frontier", "seen",
+        "hostledger").foreach { t =>
       val p = Paths.get(dir, t, s"round=$round")
       if (Files.isDirectory(p)) {
         val s = Files.walk(p)

@@ -165,6 +165,17 @@ case class CrawlConfig(
       * filter; supports delete, ~fewer bits/key at equal fpp). Exactness
       * never depends on the choice (the anti-join is the exact tier). */
     seenFilterKind: String = "bloom",
+    /** Above this many delay-bearing hosts, the per-host crawl-delay
+      * ledger LEAVES THE DRIVER: the delay table stays a DataFrame (no
+      * robots.collect), the (host, notBefore) ledger is a checkpointed
+      * round table ("hostledger"), and the delay split/update are joins
+      * instead of driver maps + isin literal lists. The driver path is
+      * kept below the threshold (zero extra jobs; a typical crawl has
+      * few delay hosts) — at web scale robots cover 10^6-10^8 hosts and
+      * a driver map/IN-list would OOM. Set to 0 to force the distributed
+      * path (the equivalence spec does). Traces are identical on both
+      * paths. */
+    distributedDelayHosts: Int = 100000,
     /** compact the seen-delta family every K rounds (0 = off): bounds the
       * read-path union fan-in on long crawls; also merges the bloom family
       * into one right-sized filter (flat probe cost on long crawls).

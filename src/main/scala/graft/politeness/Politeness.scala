@@ -28,12 +28,17 @@ object Politeness {
     * construction (one row per host) -> broadcast hint. Hosts without a
     * rule are fully allowed.
     */
-  def robotsFilter(frontier: DataFrame, robots: Dataset[RobotsRule]): DataFrame = {
-    val r = broadcast(
-      robots.toDF().select(
-        col("host"),
-        col("disallow").as("_disallow"),
-        col("hostBudget").as("_hostBudget")))
+  def robotsFilter(frontier: DataFrame, robots: Dataset[RobotsRule],
+      broadcastRobots: Boolean = true): DataFrame = {
+    val r0 = robots.toDF().select(
+      col("host"),
+      col("disallow").as("_disallow"),
+      col("hostBudget").as("_hostBudget"))
+    // at web scale robots cover 10^6-10^8 hosts — past the engine's
+    // threshold the join runs un-hinted (hash-partitioned on host, the
+    // same partitioning the budget-rank window needs right after, so the
+    // frontier shuffle is shared, not added)
+    val r = if (broadcastRobots) broadcast(r0) else r0
     val joined = frontier.join(r, Seq("host"), "left")
     val path = regexp_extract(col("canonical"), "^[a-z]+:\\/\\/[^\\/]*([^?#]*)", 1)
     joined

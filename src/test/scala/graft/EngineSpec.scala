@@ -261,6 +261,42 @@ class EngineSpec extends SparkTestBase {
       s"crawl delay violated: min gap ${if (gaps.isEmpty) -1 else gaps.min}")
   }
 
+  test("distributed crawl-delay ledger: trace identical to driver ledger") {
+    // distributedDelayHosts = 0 forces the web-scale path: delays as a
+    // DataFrame (no robots.collect), (host, notBefore) as a checkpointed
+    // round table, split/update as joins — same arithmetic, same trace
+    val robots = Corpus.robotsLocal(spec, hostBudget = 3)
+      .map(_.copy(crawlDelayMs = 2000L))
+    val cfg = CrawlConfig(maxRounds = 10, maxDepth = 4,
+      defaultHostBudget = 3, frontierPartitions = 4, msPerRound = 1000L,
+      bloomExpectedItems = 10000L)
+    val (_, viaDriver) = runEngine(cfg, robots)
+    val (_, viaJoins) = runEngine(cfg.copy(distributedDelayHosts = 0), robots)
+    assert(viaDriver.sortBy(_.seq).toSeq == viaJoins.sortBy(_.seq).toSeq)
+  }
+
+  test("distributed delay ledger survives resume (table checkpoint)") {
+    val robots = Corpus.robotsLocal(spec, hostBudget = 3)
+      .map(_.copy(crawlDelayMs = 2000L)).toDS()
+    val base = CrawlConfig(maxRounds = 8, maxDepth = 4,
+      defaultHostBudget = 3, frontierPartitions = 4, msPerRound = 1000L,
+      bloomExpectedItems = 10000L, distributedDelayHosts = 0)
+    val dirA = SparkTestBase.tmpDir("dledger-straight")
+    val straight = CrawlEngine.run(spark, docsDf, seeds, robots, router,
+      base, dirA)
+    val dirB = SparkTestBase.tmpDir("dledger-resume")
+    CrawlEngine.run(spark, docsDf, seeds, robots, router,
+      base.copy(maxRounds = 2), dirB)
+    // the interrupted crawl checkpointed its ledger as a round table
+    assert(TableIO.readHostLedgerRound(dirB, 1).isDefined)
+    val resumed = CrawlEngine.resume(spark, docsDf, seeds, robots, router,
+      base, dirB)
+    def key(r: CrawlEngine.RunResult) = r.trace(spark)
+      .select($"seq", $"url", $"depth", $"round")
+      .as[(Long, String, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(key(straight) == key(resumed))
+  }
+
   test("resume under enforceDefer+enforceAbort restores ledgers (ADVICE r01)") {
     // page requests defer 3 rounds AND media-tagged requests get killed:
     // resuming right after round 0 must carry both ledgers forward
