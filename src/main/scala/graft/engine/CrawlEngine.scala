@@ -325,6 +325,21 @@ object CrawlEngine {
       resumeState.flatMap(_.hostLedger)
     var lastHostLedgerRound: Option[Int] =
       resumeState.flatMap(_.hostLedgerRound)
+
+    // bucketed seen mirror (exact-tier twin of the fetcher's bucketed
+    // corpus copy): activates once the seen set is past broadcast size;
+    // a resume in the same warehouse finds the table, a resume in a
+    // fresh warehouse recreates it from the dir deltas at the next
+    // threshold check. Stale rows from aborted rounds are harmless
+    // (identical to the replay's rows — see BucketedSeenStore scaladoc).
+    var seenStore: Option[graft.dedup.BucketedSeenStore] = {
+      if (cfg.dedup && cfg.bucketedSeenMin >= 0) {
+        val s = new graft.dedup.BucketedSeenStore(spark,
+          graft.dedup.BucketedSeenStore.tableFor(workDir),
+          cfg.frontierPartitions)
+        if (s.exists) Some(s) else None
+      } else None
+    }
     // bloom ledger = FAMILY of per-round shard maps, each sized to its
     // round's delta (no merge, no fixed oversized buffers — keeps the
     // partial-aggregate shuffle proportional to actual new URLs). Members
@@ -412,13 +427,19 @@ object CrawlEngine {
       val eligible1 =
         if (!cfg.dedup) eligible0
         else {
+          // exact tier: the bucketed mirror when active (seen side never
+          // shuffled), the plain anti-join (broadcastable seen) below it
+          def exact(cand: DataFrame): DataFrame = seenStore match {
+            case Some(st) => st.antiJoin(cand)
+            case None => Seen.exactAntiJoin(cand, seen)
+          }
           val notSeen =
             if (cfg.useBloomPrefilter && bloomLedger.nonEmpty) {
               val (defNew, maybe) =
                 Seen.bloomPrefilterMulti(eligible0, bloomLedger, cfg.bloomShards)
-              defNew.unionByName(Seen.exactAntiJoin(maybe, seen))
+              defNew.unionByName(exact(maybe))
             } else if (nextSeq == 0) eligible0 // seen is empty on round 0
-            else Seen.exactAntiJoin(eligible0, seen)
+            else exact(eligible0)
           Seen.firstOccurrence(notSeen,
             struct(col("parentSeq"), col("emissionIdx")))
         }
@@ -633,6 +654,22 @@ object CrawlEngine {
       val seenStat = scala.concurrent.Await.result(fSeen, Duration.Inf)
       scala.concurrent.Await.result(fTrace, Duration.Inf)
       scala.concurrent.Await.result(fRecords, Duration.Inf)
+
+      // bucketed seen-mirror maintenance (after the dir delta is durable):
+      // append this round's hashes, or bulk-load the mirror the first time
+      // the crawl crosses the threshold (also heals a lost warehouse)
+      if (cfg.dedup && cfg.bucketedSeenMin >= 0 &&
+          nextSeq + scheduledCount >= cfg.bucketedSeenMin) {
+        seenStore match {
+          case Some(st) => if (scheduledCount > 0) st.append(newSeen)
+          case None =>
+            val st = new graft.dedup.BucketedSeenStore(spark,
+              graft.dedup.BucketedSeenStore.tableFor(workDir),
+              cfg.frontierPartitions)
+            st.bulkLoad(TableIO.readDeltas(spark, workDir, "seen", round))
+            seenStore = Some(st)
+        }
+      }
 
       // crawl-delay ledger update: every delay-host scheduled this round
       // gets notBefore = max(existing, now) + d (runner.rs:289-306). A

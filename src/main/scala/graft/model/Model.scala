@@ -176,6 +176,14 @@ case class CrawlConfig(
       * path (the equivalence spec does). Traces are identical on both
       * paths. */
     distributedDelayHosts: Int = 100000,
+    /** Once the cumulative seen set reaches this many rows, mirror it as
+      * a BUCKETED catalog table ([[graft.dedup.BucketedSeenStore]]) and
+      * run the exact dedup anti-join co-partitioned against it — the
+      * seen side (the 10^10 side) is never shuffled again; only the
+      * bloom-surviving candidate slice repartitions. Below the
+      * threshold Spark broadcasts the small seen side anyway. 0 forces
+      * the mirror from round 0 (equivalence spec); -1 disables. */
+    bucketedSeenMin: Long = 10000000L,
     /** compact the seen-delta family every K rounds (0 = off): bounds the
       * read-path union fan-in on long crawls; also merges the bloom family
       * into one right-sized filter (flat probe cost on long crawls).

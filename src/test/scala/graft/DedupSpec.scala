@@ -39,6 +39,33 @@ class DedupSpec extends SparkTestBase {
     assert(kept == Set((10L, 3L, 1), (11L, 9L, 0)))
   }
 
+  test("bucketed seen mirror: one candidate-side exchange only, " +
+      "equal to plain anti-join") {
+    import graft.dedup.BucketedSeenStore
+    val store = new BucketedSeenStore(spark, "graft_seen_plan_spec", 4)
+    val seen = (0L until 10000L).map(i => i * 13L).toDF("urlHash")
+    store.bulkLoad(seen)
+    try {
+      val cand = (0L until 4000L).map(i => i * 7L).toDF("urlHash")
+      val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val (got, plan) = try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val df = store.antiJoin(cand)
+        (df.as[Long].collect().sorted.toSeq,
+          df.queryExecution.executedPlan.toString)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      // the 10^10 side (seen) is scanned pre-partitioned: the only
+      // Exchange in the plan is the small candidate side
+      val exchanges = "(?<!Reuse)Exchange".r.findAllIn(plan).length
+      assert(exchanges == 1, s"expected one candidate-side exchange:\n$plan")
+      val want = Seen.exactAntiJoin(cand, seen).as[Long].collect().sorted.toSeq
+      assert(got == want)
+      // append then probe again: appended hashes now filter out
+      store.append((0L until 4000L).map(i => i * 7L).toDF("urlHash"))
+      assert(store.antiJoin(cand).count() == 0)
+    } finally store.drop()
+  }
+
   test("dedup idempotence: dedup ∘ dedup == dedup") {
     val df = (0L until 1000L).map(i => (i % 100, i, (i % 13).toInt))
       .toDF("urlHash", "parentSeq", "emissionIdx")

@@ -261,6 +261,31 @@ class EngineSpec extends SparkTestBase {
       s"crawl delay violated: min gap ${if (gaps.isEmpty) -1 else gaps.min}")
   }
 
+  test("bucketed seen mirror: trace identical to the plain exact tier, " +
+      "resume reuses the table") {
+    val robots = Corpus.robotsLocal(spec, hostBudget = 3)
+    val cfg = CrawlConfig(maxRounds = 6, maxDepth = 4,
+      defaultHostBudget = 3, frontierPartitions = 4, bloomShards = 4,
+      bloomExpectedItems = 10000L)
+    val (_, plain) = runEngine(cfg.copy(bucketedSeenMin = -1), robots)
+    val (_, mirrored) = runEngine(cfg.copy(bucketedSeenMin = 0), robots)
+    assert(plain.sortBy(_.seq).toSeq == mirrored.sortBy(_.seq).toSeq)
+    // resume path: a stopped mirrored crawl resumes to the same trace
+    val base = cfg.copy(bucketedSeenMin = 0)
+    val dirA = SparkTestBase.tmpDir("mirror-straight")
+    val straight = CrawlEngine.run(spark, docsDf, seeds,
+      robots.toDS(), router, base, dirA)
+    val dirB = SparkTestBase.tmpDir("mirror-resume")
+    CrawlEngine.run(spark, docsDf, seeds, robots.toDS(), router,
+      base.copy(maxRounds = 2), dirB)
+    val resumed = CrawlEngine.resume(spark, docsDf, seeds, robots.toDS(),
+      router, base, dirB)
+    def key(r: CrawlEngine.RunResult) = r.trace(spark)
+      .select($"seq", $"url", $"depth").as[(Long, String, Int)]
+      .collect().sortBy(_._1).toSeq
+    assert(key(straight) == key(resumed))
+  }
+
   test("distributed crawl-delay ledger: trace identical to driver ledger") {
     // distributedDelayHosts = 0 forces the web-scale path: delays as a
     // DataFrame (no robots.collect), (host, notBefore) as a checkpointed
