@@ -49,6 +49,30 @@ object ScaleProbe {
       return
     }
 
+    // seen-mirror probe: plain anti-join (shuffles the big seen side)
+    // vs BucketedSeenStore (seen pre-partitioned, one candidate-side
+    // exchange). SPARK_GRAFT_PROBE_ROWS = seen size; candidates = 1/16.
+    if (sys.env.get("SPARK_GRAFT_PROBE_MODE").contains("seen")) {
+      import graft.dedup.{BucketedSeenStore, Seen}
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val seen = spark.range(n).select((col("id") * 13L).as("urlHash"))
+      val cand = spark.range(n / 16).select((col("id") * 26L).as("urlHash"))
+      val t0 = System.nanoTime()
+      val plainNew = Seen.exactAntiJoin(cand, seen).count()
+      val plainSec = (System.nanoTime() - t0) / 1e9
+      val store = new BucketedSeenStore(spark, "graft_seen_probe",
+        cpus.toInt * 4)
+      store.bulkLoad(seen) // untimed: one-time layout cost, amortized
+      val t1 = System.nanoTime()
+      val storeNew = store.antiJoin(cand).count()
+      val storeSec = (System.nanoTime() - t1) / 1e9
+      store.drop()
+      require(plainNew == storeNew, s"$plainNew != $storeNew")
+      println(f"""{"probe":"seen_anti","seen":$n,"cands":${n / 16},"plain_sec":$plainSec%.1f,"mirror_sec":$storeSec%.1f,"speedup":${plainSec / storeSec}%.2f,"cpus":$cpus}""")
+      spark.stop()
+      return
+    }
+
     val t0 = System.nanoTime()
     val id = col("id")
     val messy = concat(
