@@ -325,6 +325,10 @@ object CrawlEngine {
       resumeState.flatMap(_.hostLedger)
     var lastHostLedgerRound: Option[Int] =
       resumeState.flatMap(_.hostLedgerRound)
+    // hostledger snapshots superseded by a newer write; deletable only
+    // AFTER the manifest that references the newer one commits (an abort
+    // before that must still find the old snapshot for resume)
+    var staleLedgerRounds: List[Int] = Nil
 
     // bucketed seen mirror (exact-tier twin of the fetcher's bucketed
     // corpus copy): activates once the seen set is past broadcast size;
@@ -696,6 +700,7 @@ object CrawlEngine {
         hostLedgerDf = Some(
           TableIO.readRound(spark, workDir, "hostledger", round)
             .select(col("host"), col("_notBefore")))
+        staleLedgerRounds = lastHostLedgerRound.toList ::: staleLedgerRounds
         lastHostLedgerRound = Some(round)
       } else if (delayRounds.nonEmpty && scheduledCount > 0) {
         val hostsHit = scheduledBack
@@ -752,6 +757,11 @@ object CrawlEngine {
       // cancel them — a cancel here would claim a COMMITTED round aborted.
       // Next iteration re-enters the group via inGroup(()).
       spark.sparkContext.clearJobGroup()
+      // rotate superseded hostledger snapshots now that this round's
+      // manifest (which references the newest one) is committed
+      staleLedgerRounds.foreach(
+        TableIO.deleteTableRound(workDir, "hostledger", _))
+      staleLedgerRounds = Nil
 
       // 12. advance (read back from checkpoint: plan restarts at scan)
       fetched.unpersist(blocking = false)

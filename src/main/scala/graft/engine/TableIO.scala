@@ -296,14 +296,21 @@ object TableIO {
     require(round > latestCompletedRound(dir),
       s"refusing to delete committed round $round")
     Seq("scheduled", "trace", "records", "frontier", "seen",
-        "hostledger").foreach { t =>
-      val p = Paths.get(dir, t, s"round=$round")
-      if (Files.isDirectory(p)) {
-        val s = Files.walk(p)
-        try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator().asScala.foreach(Files.deleteIfExists(_))
-        finally s.close()
-      }
+        "hostledger").foreach(deleteTableRound(dir, _, round))
+  }
+
+  /** Remove one table's `round=<k>` dir (no-op when absent). Used by the
+    * mid-round abort cleanup and by hostledger snapshot rotation (each
+    * hostledger round is a FULL snapshot, so once a later round's
+    * manifest commits, earlier snapshots are dead).
+    */
+  def deleteTableRound(dir: String, table: String, round: Int): Unit = {
+    val p = Paths.get(dir, table, s"round=$round")
+    if (Files.isDirectory(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally s.close()
     }
   }
 }
