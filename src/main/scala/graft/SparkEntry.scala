@@ -373,8 +373,104 @@ object SparkEntry {
       val r = CrawlEngine.run(s, corpus, seeds, robots,
         Router(Map.empty, fallback = Handler.continue), cfg, work)
       r.trace(s).select(col("url"), col("seq"), col("round")).orderBy("seq")
+    }),
+
+    // link-graph degree stats (graph.GraphOps.degrees) over the
+    // deterministic 3-out-degree doc graph — the crawler's own output
+    // table feeding corpus analytics
+    "q_graph_degree" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val n = d.count()
+      graft.graph.GraphOps.degrees(edgesDf(d, n)).orderBy("node")
+    }),
+
+    // fixed-point integer PageRank, 3 iterations (GraphOps.pageRank):
+    // crawl-priority recomputation from the link graph. Exact-arith
+    // (Long div/sum only) => bit-identical at any parallelism; the oracle
+    // is the same recurrence unrolled as CTEs with DuckDB `//`.
+    "q_pagerank" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val n = d.count()
+      graft.graph.GraphOps.pageRank(
+        d.select(col("doc_id").as("id")), edgesDf(d, n), iterations = 3)
+        .orderBy("node")
+    }),
+
+    // label-propagation connected components (GraphOps.labelPropagation),
+    // 4 iterations over a disconnected K-residue chain graph (i <-> i+16
+    // below the largest multiple of 16). After k iterations the label is
+    // the min of the k-hop neighborhood: label(i) = max(i - 4*16, i % 16)
+    // on chain nodes, i elsewhere — the oracle's closed form.
+    "q_cc_labels" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val n = d.count()
+      val k = 16L
+      val m = n - (n % k)
+      val chain = d.filter(col("doc_id") + k < m)
+        .select(col("doc_id").as("src"), (col("doc_id") + k).as("dst"))
+      graft.graph.GraphOps.labelPropagation(
+        d.select(col("doc_id").as("id")), chain, iterations = 4)
+        .orderBy("node")
+    }),
+
+    // interleaved-payload document reconstruction: text spans of the
+    // engine corpus, offset-ordered, rejoined to the document's text.
+    // Order comes from array_sort on (offset, text) — a per-row Catalyst
+    // expression, NOT a per-doc aggregation (no groupBy shuffle; spans
+    // already live in the row)
+    "q_spans_text" -> ((s, dir) => {
+      val n = documents(s, dir).count()
+      graft.corpus.Corpus.docs(s, graft.corpus.Corpus.Spec(nDocs = n))
+        .select(col("doc_id"),
+          array_join(
+            transform(
+              array_sort(transform(
+                filter(col("spans"), sp => sp("kind") === lit("text")),
+                sp => struct(sp("offset").as("o"), sp("text").as("t")))),
+              x => x("t")),
+            " ").as("text"))
+        .orderBy("doc_id")
     })
   )
+
+  /** Deterministic doc-graph edges: i -> (i*m + a) % n per edgeMults
+    * (same formula in SQL via [[edgesSql]]).
+    */
+  private def edgesDf(d: DataFrame, n: Long): DataFrame =
+    edgeMults.map { case (m, a) =>
+      d.select(col("doc_id").as("src"),
+        ((col("doc_id") * m + a) % n).as("dst"))
+    }.reduce(_ unionByName _)
+
+  private def edgesSql: String = edgeMults.map { case (m, a) =>
+    s"SELECT doc_id AS src, (doc_id * $m + $a) % (SELECT c FROM nn) AS dst" +
+      " FROM documents"
+  }.mkString(" UNION ALL ")
+
+  /** The PageRank recurrence of GraphOps.pageRank unrolled as DuckDB CTEs
+    * (generated from the same constants so the two sides cannot drift).
+    */
+  private def pagerankSql(iters: Int, d20: Int = 17): String = {
+    val scale = graft.graph.GraphOps.RankScale
+    val base = (scale * (20 - d20)) / 20
+    val sb = new StringBuilder
+    sb ++= "WITH nn AS (SELECT count(*) AS c FROM documents), "
+    sb ++= s"edges AS ($edgesSql), "
+    sb ++= "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src), "
+    sb ++= s"r0 AS (SELECT doc_id AS node, CAST($scale AS BIGINT) AS rank" +
+      " FROM documents)"
+    for (k <- 1 to iters) {
+      sb ++= s", c$k AS (SELECT e.dst AS node," +
+        " CAST(SUM(r.rank // g.d) AS BIGINT) AS m" +
+        s" FROM edges e JOIN deg g ON e.src = g.src" +
+        s" JOIN r${k - 1} r ON r.node = e.src GROUP BY e.dst)"
+      sb ++= s", r$k AS (SELECT d.doc_id AS node," +
+        s" CAST($base + ($d20 * COALESCE(c.m, 0)) // 20 AS BIGINT) AS rank" +
+        s" FROM documents d LEFT JOIN c$k c ON c.node = d.doc_id)"
+    }
+    sb ++= s" SELECT node, rank FROM r$iters ORDER BY node"
+    sb.toString
+  }
 
   // ---------- DuckDB oracles ----------
 
@@ -551,6 +647,41 @@ object SparkEntry {
       """SELECT concat('http://delay.test/d/', CAST(doc_id AS VARCHAR)) AS url,
             CAST(11 - doc_id AS BIGINT) AS seq,
             CAST(2 * ((11 - doc_id) // 3) AS INT) AS round
-         FROM documents WHERE doc_id < 12 ORDER BY seq"""
+         FROM documents WHERE doc_id < 12 ORDER BY seq""",
+
+    "q_graph_degree" ->
+      s"""WITH nn AS (SELECT count(*) AS c FROM documents),
+          edges AS ($edgesSql),
+          o AS (SELECT src AS node, count(*) AS out_deg FROM edges GROUP BY src),
+          i AS (SELECT dst AS node, count(*) AS in_deg FROM edges GROUP BY dst)
+          SELECT COALESCE(o.node, i.node) AS node,
+                 CAST(COALESCE(o.out_deg, 0) AS BIGINT) AS out_deg,
+                 CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg
+          FROM o FULL OUTER JOIN i ON o.node = i.node ORDER BY node""",
+
+    "q_pagerank" -> pagerankSql(3),
+
+    // closed form of 4 min-propagation iterations on the i <-> i+16 chain
+    // graph: the 4-hop neighborhood of chain node i is {i-64..i+64 step 16}
+    // clipped to [i%16, m), whose min is max(i-64, i%16)
+    "q_cc_labels" ->
+      """WITH nn AS (SELECT count(*) AS c FROM documents)
+         SELECT doc_id AS node,
+                CAST(CASE WHEN doc_id < (SELECT c - (c % 16) FROM nn)
+                     THEN GREATEST(doc_id - 64, doc_id % 16)
+                     ELSE doc_id END AS BIGINT) AS label
+         FROM documents ORDER BY node""",
+
+    "q_spans_text" -> {
+      s"""WITH ids AS (SELECT doc_id AS i FROM documents),
+          t AS (SELECT i, g AS ord,
+                  concat('t', CAST(${mix2Sql("i * 7 + g", 6)} AS VARCHAR))
+                    AS txt
+                FROM ids, generate_series(0, 2) s(g)
+                WHERE g < ${nTextSql("i")})
+          SELECT ${corpusUrlSql("i")} AS doc_id,
+                 string_agg(txt, ' ' ORDER BY ord) AS text
+          FROM t GROUP BY i ORDER BY doc_id"""
+    }
   )
 }

@@ -1,0 +1,125 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics over the crawl corpus — the operators a crawler
+  * feeds and consumes: degree stats, PageRank (crawl-priority
+  * recomputation), and label-propagation connected components (site
+  * clustering). The reference's scheduler ranks by a static `priority`
+  * column (spire-rs/spire crates/spire-core/src/dataset/queue.rs); at web
+  * scale that priority IS a graph score recomputed from the link table,
+  * so these close the loop frontier -> fetch -> link graph -> priority.
+  *
+  * Scale notes (axis A):
+  *  - edges(src, dst) is the only big table; every iteration is ONE
+  *    shuffle keyed alternately on src/dst. Pre-partitioning `edges` on
+  *    dst (the aggregation key) makes the per-iteration contribution agg
+  *    exchange-free; the rank-side join is the small side (one row per
+  *    node) and co-shuffles with it.
+  *  - ranks use FIXED-POINT Long arithmetic (RankScale), not Double:
+  *    integer addition is associative, so the result is bit-identical at
+  *    any partitioning / parallelism — the property that makes the DuckDB
+  *    oracle an exact hash match, and (at 1000 executors) makes reruns
+  *    reproducible. Overflow bound: sum of contributions to one node is
+  *    <= total mass = nNodes * RankScale; with RankScale = 10^9 that
+  *    stays < 2^62 up to 4x10^9 nodes — the 10^10-frontier regime needs
+  *    RankScale = 10^8, a constructor knob, not a redesign.
+  *  - iteration count is fixed and small (priority refresh, not numeric
+  *    convergence); each iteration's plan is a pure tree so a handful of
+  *    iterations compose without checkpointing. Callers looping deeper
+  *    pass `checkpointEvery` to cut lineage through TableIO-style
+  *    persists.
+  */
+object GraphOps {
+
+  /** Fixed-point scale for PageRank mass (see overflow bound above). */
+  val RankScale: Long = 1000000000L
+
+  /** Out-degree and in-degree per node. One groupBy per direction over
+    * the edge table; the union keeps a single pass per side and the
+    * full-outer merge is on the (small) per-node aggregates.
+    */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
+  /** Fixed-iteration PageRank in exact integer arithmetic.
+    *
+    * rank_0(v)   = RankScale  (average mass = RankScale per node)
+    * rank_k+1(v) = (RankScale * (20-D20)) div 20
+    *             + (D20 * sum over u->v of (rank_k(u) div outdeg(u))) div 20
+    *
+    * with D20 = 17 (damping 17/20 = 0.85). Every op is Long add / div —
+    * deterministic under any aggregation order. Dangling-node mass is
+    * dropped (the standard simplification; the oracle mirrors it).
+    *
+    * `nodes` must carry one row per node id (column `id`); nodes with no
+    * in-links decay to the teleport term exactly as the formula says.
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iterations: Int,
+      d20: Int = 17,
+      checkpointEvery: Int = 0,
+      checkpoint: DataFrame => DataFrame = identity): DataFrame = {
+    require(d20 >= 0 && d20 <= 20, "damping is d20/20")
+    val base = (RankScale * (20 - d20)) / 20
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("_deg"))
+    // join once: per-edge (src, dst, _deg); rank re-joins per iteration
+    val withDeg = edges.join(outDeg, "src")
+    var ranks = nodes.select(col("id").as("node"),
+      lit(RankScale).as("rank"))
+    for (i <- 1 to iterations) {
+      // `div` = integral division (Long), NOT `/` (Double): the double
+      // path would be correct here but the integral form is trivially
+      // oracle-exact (DuckDB `//`) with no rounding-boundary argument
+      val contrib = withDeg
+        .join(ranks, withDeg("src") === ranks("node"))
+        .selectExpr("dst AS node", "rank div _deg AS c")
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("_in"))
+      ranks = nodes.select(col("id").as("node"))
+        .join(contrib, Seq("node"), "left_outer")
+        .selectExpr("node",
+          s"CAST(${base}L + (${d20}L * coalesce(_in, 0L)) div 20 AS BIGINT)" +
+            " AS rank")
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations)
+        ranks = checkpoint(ranks)
+    }
+    ranks
+  }
+
+  /** Fixed-iteration label propagation over the UNDIRECTED closure of
+    * `edges`: every node starts as its own label (its id) and repeatedly
+    * takes the min of itself and its neighbors. After k iterations two
+    * nodes share a label iff they are within graph distance k of a common
+    * minimum — the standard hash-join form of connected components
+    * (HashToMin; Rastogi et al. 2013). Integer min is exact at any
+    * parallelism.
+    *
+    * Per iteration: one shuffle keyed on the neighbor id. The undirected
+    * edge table is materialized once (union of both directions) and
+    * reused; self-loops are harmless to min().
+    */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame,
+      iterations: Int): DataFrame = {
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
+    var labels = nodes.select(col("id").as("node"), col("id").as("label"))
+    for (_ <- 1 to iterations) {
+      val fromNbr = und
+        .join(labels, und("b") === labels("node"))
+        .select(col("a").as("node"), col("label"))
+      labels = labels.unionByName(fromNbr)
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"))
+    }
+    labels
+  }
+}

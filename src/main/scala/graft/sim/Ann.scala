@@ -20,21 +20,43 @@ import org.apache.spark.sql.functions._
   *    assignment by max cosine, search probes the query's list
   */
 object Ann {
+  import org.apache.spark.sql.GraftExpr.{column => exprCol, expression => colExpr}
 
-  /** floor(x*1000) per component, as long. */
+  // ---- fused codegen'd forms (the hot path; see AnnExpr scaladoc) ----
+
+  /** floor(x*1000) per component, as long (fused; one generated loop). */
   def quantize(vec: Column): Column =
-    transform(vec, x => floor(x.cast("double") * 1000).cast("long"))
+    exprCol(AnnExpr.QuantizeVec(colExpr(vec)))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors (fused). */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    exprCol(AnnExpr.DotQ(colExpr(a), colExpr(b)))
 
   def norm2Q(a: Column): Column = dotQ(a, a)
 
-  /** Cosine similarity from integer parts: IEEE-deterministic double. */
+  /** Cosine similarity from integer parts: IEEE-deterministic double.
+    * Fused: dot and both norms accumulate in ONE pass over the arrays
+    * (the Column twin walks them three times, interpreted).
+    */
   def cosineQ(a: Column, b: Column): Column =
-    dotQ(a, b).cast("double") /
-      (sqrt(norm2Q(a).cast("double")) * sqrt(norm2Q(b).cast("double")))
+    exprCol(AnnExpr.CosineQ(colExpr(a), colExpr(b)))
+
+  // ---- Column twins (executable spec; AnnSpec pins fused == Column) ----
+
+  /** Declarative twin of [[quantize]]. */
+  def quantizeCol(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * 1000).cast("long"))
+
+  /** Declarative twin of [[dotQ]]. */
+  def dotQCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  def norm2QCol(a: Column): Column = dotQCol(a, a)
+
+  /** Declarative twin of [[cosineQ]]. */
+  def cosineQCol(a: Column, b: Column): Column =
+    dotQCol(a, b).cast("double") /
+      (sqrt(norm2QCol(a).cast("double")) * sqrt(norm2QCol(b).cast("double")))
 
   /** Brute-force top-k neighbours of `query` (a quantized array column of
     * one row, cross-joined — i.e. broadcast) among `vecs`.
@@ -65,10 +87,15 @@ object Ann {
     * at 256 buckets, making within-bucket work O((N/256)^2)): pick
     * nBits = [[chooseBits]](n, targetBucketRows).
     */
-  def lshBucket(vQ: Column, dim: Int, nBits: Int = 8, offset: Int = 0): Column = {
+  def lshBucket(vQ: Column, dim: Int, nBits: Int = 8, offset: Int = 0): Column =
+    exprCol(AnnExpr.LshBits(colExpr(vQ),
+      (0 until nBits).map(j => hyper(offset + j, dim))))
+
+  /** Declarative twin of [[lshBucket]] (one interpreted fold per plane). */
+  def lshBucketCol(vQ: Column, dim: Int, nBits: Int = 8, offset: Int = 0): Column = {
     val bits = (0 until nBits).map { j =>
       val w = typedlit(hyper(offset + j, dim))
-      when(dotQ(vQ, w) >= 0, lit(1L << j)).otherwise(lit(0L))
+      when(dotQCol(vQ, w) >= 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
@@ -140,16 +167,23 @@ object Ann {
     cents
   }
 
-  /** Argmax-cosine centroid id of `vCol` over the centroid literal, given
-    * a pre-hoisted row norm `vnCol` (referenced by Column inside the fold,
-    * an inline norm would re-expand and re-compute per centroid).
+  /** Argmax-cosine centroid id (fused: one generated loop over the
+    * centroid matrix per row, row norm computed in the same pass).
     */
-  private def argmaxCid(centLit: Column, vCol: Column, vnCol: Column): Column =
+  private def argmaxCid(cents: Seq[(Long, Seq[Long], Double)], vCol: Column): Column =
+    exprCol(AnnExpr.IvfArgmax(colExpr(vCol), cents))
+
+  /** Declarative twin of [[argmaxCid]] (AnnSpec differential): the
+    * aggregate fold over a centroid literal, with the row norm pre-hoisted
+    * in `vnCol` (an inline norm would re-expand per centroid).
+    */
+  def argmaxCidCol(cents: Seq[(Long, Seq[Long], Double)], vCol: Column,
+      vnCol: Column): Column =
     aggregate(
-      centLit,
+      typedlit(cents),
       struct(lit(-1L).as("cid"), lit(Double.NegativeInfinity).as("cos")),
       (acc, c) => {
-        val cos = dotQ(vCol, c("_2")).cast("double") / (vnCol * c("_3"))
+        val cos = dotQCol(vCol, c("_2")).cast("double") / (vnCol * c("_3"))
         when(cos > acc("cos"),
           struct(c("_1").as("cid"), cos.as("cos"))).otherwise(acc)
       }).getField("cid")
@@ -159,9 +193,8 @@ object Ann {
       stride: Int): DataFrame = {
     val v = vecs.select(col(idCol).cast("long").as("id"),
       quantize(col(vecCol)).as("v"))
-    val centLit = typedlit(collectCentroids(v, stride))
-    v.withColumn("vn", sqrt(norm2Q(col("v")).cast("double")))
-      .withColumn("cid", argmaxCid(centLit, col("v"), col("vn")))
+    val cents = collectCentroids(v, stride)
+    v.withColumn("cid", argmaxCid(cents, col("v")))
       .select(col("id"), col("v"), col("cid"))
   }
 
@@ -182,8 +215,7 @@ object Ann {
     val v = vecs.select(col(idCol).cast("long").as("id"),
       quantize(col(vecCol)).as("v"))
     val cents = collectCentroids(v, stride)
-    v.withColumn("vn", sqrt(norm2Q(col("v")).cast("double")))
-      .withColumn("cid", argmaxCid(typedlit(cents), col("v"), col("vn")))
+    v.withColumn("cid", argmaxCid(cents, col("v")))
       .select(col("id"), col("v"), col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(path)
     IvfIndex(path, cents)

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.graph.GraphOps
+
+/** Link-graph analytics: degrees, fixed-point PageRank,
+  * label-propagation components.
+  */
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def nodesDf(n: Int): DataFrame =
+    (0L until n.toLong).toDF("id")
+
+  test("degrees counts both directions, 0 for absent") {
+    // 0 -> 1, 0 -> 2, 1 -> 2; node 3 isolated (appears via nodes only
+    // when joined downstream — degrees itself only sees edge endpoints)
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("src", "dst")
+    val d = GraphOps.degrees(edges).orderBy("node")
+      .as[(Long, Long, Long)].collect()
+    assert(d.toSeq == Seq((0L, 2L, 0L), (1L, 1L, 1L), (2L, 0L, 2L)))
+  }
+
+  test("pageRank: sink decays to teleport base; exact hand-computed chain") {
+    // 0 -> 1 -> 2, 2 is a sink (dangling mass dropped by design)
+    val nodes = nodesDf(3)
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val S = GraphOps.RankScale
+    val base = (S * 3) / 20
+    // iter1: r(0)=base; r(1)=base + 17*(S div 1) div 20; r(2) same from 1
+    val r1 = GraphOps.pageRank(nodes, edges, 1)
+      .orderBy("node").as[(Long, Long)].collect().toMap
+    assert(r1(0L) == base)
+    assert(r1(1L) == base + (17L * S) / 20)
+    assert(r1(2L) == base + (17L * S) / 20)
+    // iter2: node 1 now receives from node 0's base rank
+    val r2 = GraphOps.pageRank(nodes, edges, 2)
+      .orderBy("node").as[(Long, Long)].collect().toMap
+    assert(r2(0L) == base)
+    assert(r2(1L) == base + (17L * base) / 20)
+    assert(r2(2L) == base + (17L * r1(1L)) / 20)
+  }
+
+  test("pageRank is bit-identical at different parallelism (integer arith)") {
+    val n = 500
+    val nodes = nodesDf(n)
+    val edges = nodes.select(col("id").as("src"),
+      ((col("id") * 7 + 3) % n).as("dst"))
+      .unionByName(nodes.select(col("id").as("src"),
+        ((col("id") * 13 + 5) % n).as("dst")))
+    val a = GraphOps.pageRank(nodes.repartition(1), edges.repartition(1), 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val b = GraphOps.pageRank(nodes.repartition(7), edges.repartition(11), 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(a == b)
+    // total mass stays positive and bounded by the start mass (sink-free
+    // graph: every node has out-degree 2, so only division floors leak)
+    assert(a.map(_._2).sum <= n.toLong * GraphOps.RankScale)
+    assert(a.forall(_._2 > 0))
+  }
+
+  test("labelPropagation: k iterations = min over k-hop neighborhood") {
+    // two components: chain 0-1-2-3-4 and pair 10-11
+    val nodes = (Seq(0L, 1L, 2L, 3L, 4L, 10L, 11L, 20L)).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("src", "dst")
+    val l1 = GraphOps.labelPropagation(nodes, edges, 1)
+      .orderBy("node").as[(Long, Long)].collect().toMap
+    assert(l1 == Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+    val l4 = GraphOps.labelPropagation(nodes, edges, 4)
+      .orderBy("node").as[(Long, Long)].collect().toMap
+    assert(l4 == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+}
