@@ -35,6 +35,35 @@ object TextDedup {
     (lit(aCoef(j)) * (TextOps.strHash(shingle) % P) + lit(bCoef(j))) % P
 
   /** k-element MinHash signature as one array column (no shuffle).
+    * FUSED (TextDedupExpr.MinHashSig -> TextHash.minhashSig): md5 once
+    * per shingle, one loop, zero intermediate arrays — the per-doc CPU
+    * hot loop of a 100TB dedup pass. [[signatureCol]] is the Column twin
+    * kept as the executable spec.
+    */
+  def signature(shingles: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftExpr
+    GraftExpr.column(TextDedupExpr.MinHashSig(
+      GraftExpr.expression(shingles),
+      (0 until k).map(aCoef), (0 until k).map(bCoef)))
+  }
+
+  /** Whole-pipeline fused signature: text -> tokens (declarative split,
+    * codegen'd) -> sliding n-gram + hash + permutation-min in ONE kernel
+    * (TextDedupExpr.MinHashTokens) — no shingle strings or per-shingle
+    * arrays ever materialize. Bit-identical to
+    * `signature(TextOps.shingles(text, n), k)` (TextDedupSpec pins it).
+    */
+  def signatureText(text: Column, shingleN: Int, k: Int): Column = {
+    import org.apache.spark.sql.GraftExpr
+    // null text == empty doc (the twin's concat_ws(" ", null) = "" path):
+    // coalesce to an empty token array so both sides sign the "" shingle
+    GraftExpr.column(TextDedupExpr.MinHashTokens(
+      GraftExpr.expression(
+        coalesce(TextOps.tokens(text), typedlit(Seq.empty[String]))),
+      shingleN, (0 until k).map(aCoef), (0 until k).map(bCoef)))
+  }
+
+  /** Declarative twin of [[signature]] (TextDedupSpec differential).
     *
     * Single-pass shape chosen from profiling: hash each shingle ONCE
     * (inner transform), expand to its k permuted hashes against
@@ -43,7 +72,7 @@ object TextDedup {
     * per-j recomputation was ~10x slower (md5 re-evaluated k times and
     * two 16-element arrays allocated per shingle per j).
     */
-  def signature(shingles: Column, k: Int): Column = {
+  def signatureCol(shingles: Column, k: Int): Column = {
     val aArr = typedlit((0 until k).map(aCoef))
     val bArr = typedlit((0 until k).map(bCoef))
     val hs = transform(shingles, s => TextOps.strHash(s) % P)
@@ -81,7 +110,7 @@ object TextDedup {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val withSig = docs.repartition(par).select(
       col(idCol).as("id"),
-      signature(TextOps.shingles(col(textCol), shingleN), k).as("sig"))
+      signatureText(col(textCol), shingleN, k).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withBands = withSig.select(col("id"),
       explode(bandKeys(col("sig"), k, rowsPerBand)).as("band"))
@@ -93,9 +122,19 @@ object TextDedup {
   }
 
   /** 32-bit SimHash: bit i of the result is 1 iff the sum over distinct
-    * tokens of (+1 / -1 by token-hash bit i) is >= 0.
+    * tokens of (+1 / -1 by token-hash bit i) is >= 0. FUSED
+    * (TextDedupExpr.SimHash32): tokenization stays declarative (split /
+    * lower are native codegen'd), the per-token 32-bit vote loop is one
+    * static call. [[simhashCol]] is the Column twin.
     */
   def simhash(text: Column): Column = {
+    import org.apache.spark.sql.GraftExpr
+    GraftExpr.column(TextDedupExpr.SimHash32(
+      GraftExpr.expression(array_distinct(TextOps.tokens(text)))))
+  }
+
+  /** Declarative twin of [[simhash]] (TextDedupSpec differential). */
+  def simhashCol(text: Column): Column = {
     val masks = typedlit((0 until 32).map(i => 1L << i))
     val toks = array_distinct(TextOps.tokens(text))
     val hashes = transform(toks, t => TextOps.strHash(t))

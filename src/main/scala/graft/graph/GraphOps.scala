@@ -95,6 +95,30 @@ object GraphOps {
     ranks
   }
 
+  /** Fold a rank table back into frontier priorities — the feedback loop
+    * a production crawler runs between crawls (the reference's `priority`
+    * is a static per-request field; at web scale it IS a graph score).
+    * Higher rank => numerically LOWER priority (the politeness rank
+    * window orders priority ascending), bucketed at RankScale/1000
+    * granularity in exact integer steps so the mapping is deterministic.
+    * Rows without a rank keep their existing priority.
+    *
+    * Scale: one join keyed on `keyCol` — at 10^10 rows both sides are
+    * hash-partitioned on the same key; pass the urlHash-keyed rank table
+    * to share the frontier's existing partitioning.
+    */
+  def reprioritize(frontier: DataFrame, ranks: DataFrame,
+      keyCol: String = "canonical", rankKeyCol: String = "node"): DataFrame = {
+    val granularity = RankScale / 1000L
+    val r = ranks.select(col(rankKeyCol).as("_rpk"), col("rank").as("_rank"))
+    frontier.join(r, frontier(keyCol) === col("_rpk"), "left_outer")
+      .withColumn("priority",
+        when(col("_rank").isNotNull,
+          (-(col("_rank") / lit(granularity)).cast("long")).cast("int"))
+          .otherwise(col("priority")))
+      .drop("_rpk", "_rank")
+  }
+
   /** Fixed-iteration label propagation over the UNDIRECTED closure of
     * `edges`: every node starts as its own label (its id) and repeatedly
     * takes the min of itself and its neighbors. After k iterations two

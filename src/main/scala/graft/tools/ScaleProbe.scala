@@ -73,6 +73,70 @@ object ScaleProbe {
       return
     }
 
+    // texthash mode: fused MinHash/SimHash kernels vs their interpreted
+    // Column twins, same JVM, same synthetic docs — the relative number
+    // is stable even when this VM's absolute speed swings day to day.
+    if (sys.env.get("SPARK_GRAFT_PROBE_MODE").contains("texthash")) {
+      import graft.dedup.TextDedup
+      import graft.text.TextOps
+      val docs = spark.range(n).select(col("id"),
+        concat_ws(" ", (0 until 40).map(w =>
+          concat(lit(s"w$w"), pmod(col("id") * (w * 2 + 7), lit(997L))
+            .cast("string"))): _*).as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      // aggregate CONSUMES the computed value (count(1) would let the
+      // optimizer prune the whole projection away); returned checksum
+      // doubles as a fused-== -twin assertion on the full probe corpus
+      def time(c: org.apache.spark.sql.Column): (Double, Long) = {
+        // best of 2: first run absorbs codegen compile + JIT warmup
+        (0 until 2).map { _ =>
+          val t0 = System.nanoTime()
+          val s = docs.select(c.as("x"))
+            .agg(sum(col("x"))).collect()(0).getLong(0)
+          ((System.nanoTime() - t0) / 1e9, s)
+        }.minBy(_._1)
+      }
+      val sh = TextOps.shingles(col("text"), 3)
+      val mh = TextDedup.signatureText(col("text"), 3, 16)
+      val mhTwin = TextDedup.signatureCol(sh, 16)
+      val first = (c: org.apache.spark.sql.Column) => element_at(c, 1)
+      val (mhF, mhFs) = time(first(mh))
+      val (mhC, mhCs) = time(first(mhTwin))
+      val (shF, shFs) = time(TextDedup.simhash(col("text")))
+      val (shC, shCs) = time(TextDedup.simhashCol(col("text")))
+      require(mhFs == mhCs && shFs == shCs,
+        s"fused != twin checksum: $mhFs/$mhCs $shFs/$shCs")
+      println(f"""{"probe":"texthash","docs":$n,"minhash_fused_sec":$mhF%.1f,"minhash_col_sec":$mhC%.1f,"minhash_speedup":${mhC / mhF}%.2f,"simhash_fused_sec":$shF%.1f,"simhash_col_sec":$shC%.1f,"simhash_speedup":${shC / shF}%.2f,"cpus":$cpus}""")
+      spark.stop()
+      return
+    }
+
+    // graph mode: 3 PageRank iterations over a synthetic N-node /
+    // 3N-edge graph — one shuffle per iteration keyed on dst, plus the
+    // exactness check that the result is bit-identical to a reference
+    // sum (integer arithmetic => same at any parallelism). Run at two
+    // SPARK_GRAFT_CPUS levels for the graph-tier scaling pair.
+    if (sys.env.get("SPARK_GRAFT_PROBE_MODE").contains("graph")) {
+      import graft.graph.GraphOps
+      val nodes = spark.range(n).select(col("id"))
+      val edges = nodes.select(col("id").as("src"),
+          ((col("id") * 7 + 3) % n).as("dst"))
+        .unionByName(nodes.select(col("id").as("src"),
+          ((col("id") * 13 + 5) % n).as("dst")))
+        .unionByName(nodes.select(col("id").as("src"),
+          ((col("id") * 31 + 11) % n).as("dst")))
+      val t0 = System.nanoTime()
+      val agg = GraphOps.pageRank(nodes, edges, iterations = 3)
+        .agg(sum(col("rank")), count(lit(1))).collect()(0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val mass = agg.getLong(0); val cnt = agg.getLong(1)
+      require(cnt == n, s"rank rows $cnt != $n")
+      println(f"""{"probe":"pagerank3","nodes":$n,"edges":${3 * n},"mass":$mass,"sec":$secs%.1f,"edges_per_sec":${3 * n / secs}%.0f,"cpus":$cpus}""")
+      spark.stop()
+      return
+    }
+
     val t0 = System.nanoTime()
     val id = col("id")
     val messy = concat(

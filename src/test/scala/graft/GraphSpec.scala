@@ -60,6 +60,35 @@ class GraphSpec extends SparkTestBase {
     assert(a.forall(_._2 > 0))
   }
 
+  test("reprioritize: rank feedback drives the budget window's selection") {
+    // one host, 4 URLs, all priority 0; budget 2. Ranks make u2/u3 the
+    // high-rank pages => after reprioritize the budget rank must pick
+    // them first (and unranked u0 keeps its original priority).
+    val frontier = Seq(
+      ("http://h.test/u0", "h.test", 0, 0, 10L, 0),
+      ("http://h.test/u1", "h.test", 0, 0, 11L, 1),
+      ("http://h.test/u2", "h.test", 0, 0, 12L, 2),
+      ("http://h.test/u3", "h.test", 0, 0, 13L, 3))
+      .toDF("canonical", "host", "priority", "discoveryRound",
+        "parentSeq", "emissionIdx")
+    val S = GraphOps.RankScale
+    val ranks = Seq(
+      ("http://h.test/u1", S),        // avg rank -> priority -1000
+      ("http://h.test/u2", 3 * S),    // -> -3000
+      ("http://h.test/u3", 2 * S))    // -> -2000
+      .toDF("node", "rank")
+    val rep = GraphOps.reprioritize(frontier, ranks)
+    val prio = rep.select(col("canonical"), col("priority"))
+      .as[(String, Int)].collect().toMap
+    assert(prio == Map(
+      "http://h.test/u0" -> 0, "http://h.test/u1" -> -1000,
+      "http://h.test/u2" -> -3000, "http://h.test/u3" -> -2000))
+    val (under, over) = graft.politeness.Politeness.budgetRank(rep, 2)
+    val scheduled = under.select(col("canonical")).as[String].collect().toSet
+    assert(scheduled == Set("http://h.test/u2", "http://h.test/u3"))
+    assert(over.count() == 2)
+  }
+
   test("labelPropagation: k iterations = min over k-hop neighborhood") {
     // two components: chain 0-1-2-3-4 and pair 10-11
     val nodes = (Seq(0L, 1L, 2L, 3L, 4L, 10L, 11L, 20L)).toDF("id")
