@@ -70,6 +70,26 @@ object TextDedupExpr {
       copy(child = newChild)
   }
 
+  /** Winnowing fingerprint set of a normalized ([a-z0-9]-only) string. */
+  case class WinnowSet(child: Expression, k: Int, w: Int)
+      extends UnaryExpression {
+    require(k >= 1 && w >= 1, "k-gram and window widths >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "winnow_set"
+
+    override protected def nullSafeEval(input: Any): Any =
+      TextHash.winnowSet(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.dedup.TextHash.winnowSet($c, $k, $w);")
+
+    override protected def withNewChildInternal(newChild: Expression): WinnowSet =
+      copy(child = newChild)
+  }
+
   /** 32-bit SimHash of an array<string> of (distinct) tokens. */
   case class SimHash32(child: Expression)
       extends UnaryExpression {

@@ -100,6 +100,44 @@ object TextHash {
     new GenericArrayData(acc)
   }
 
+  /** Winnowing fingerprint set (Schleimer'03) in one pass: k-char-gram
+    * hashes of the normalized text, sliding w-window minima, distinct,
+    * ascending. Bit-identical to the staged Column pipeline
+    * `winnowMins(winnowHashes(norm, k), w)` (TextOps): empty norm =>
+    * empty set; shorter-than-k norm degrades to the single whole-string
+    * gram; fewer-than-w grams to the single global min. `norm` is
+    * [a-z0-9]-only by construction (winnowNorm), so byte == char
+    * positions and the substring walk is exact.
+    */
+  def winnowSet(norm: UTF8String, k: Int, w: Int): ArrayData = {
+    val nb = norm.numBytes()
+    if (nb == 0) return new GenericArrayData(Array.empty[Long])
+    val grams: Array[Long] =
+      if (nb >= k) {
+        val out = new Array[Long](nb - k + 1)
+        var i = 0
+        while (i <= nb - k) {
+          out(i) = strHash60(norm.substring(i, i + k)) % P
+          i += 1
+        }
+        out
+      } else Array(strHash60(norm) % P)
+    val mins: Array[Long] =
+      if (grams.length >= w) {
+        val out = new Array[Long](grams.length - w + 1)
+        var j = 0
+        while (j <= grams.length - w) {
+          var m = Long.MaxValue
+          var t = j
+          while (t < j + w) { if (grams(t) < m) m = grams(t); t += 1 }
+          out(j) = m
+          j += 1
+        }
+        out
+      } else Array(grams.min)
+    new GenericArrayData(mins.distinct.sorted)
+  }
+
   /** 32-bit SimHash over distinct tokens: bit i set iff the sum over
     * tokens of +-1 (by bit i of the token hash) is >= 0. Empty input =>
     * all sums 0 => all 32 bits set (the fold twin's value). A NULL token

@@ -148,8 +148,25 @@ object TextOps {
   /** One-shot form for tests/small inputs; production use is the staged
     * three-projection pipeline (see the staging contract above).
     */
-  def winnowSet(text: Column, k: Int = 5, w: Int = 4): Column =
-    winnowMins(winnowHashes(winnowNorm(text), k), w)
+  /** FUSED winnowing set (dedup.TextDedupExpr.WinnowSet -> one static
+    * call: gram hashes + sliding minima + distinct/sort in one pass).
+    * [[winnowSetCol]] is the staged Column twin kept as the executable
+    * spec; the q_winnow gate runs the staged form so the projection-
+    * staging contract stays exercised too.
+    */
+  def winnowSet(text: Column, k: Int = 5, w: Int = 4): Column = {
+    import org.apache.spark.sql.GraftExpr
+    GraftExpr.column(graft.dedup.TextDedupExpr.WinnowSet(
+      GraftExpr.expression(winnowNorm(text)), k, w))
+  }
+
+  /** Declarative twin of [[winnowSet]]. Null text -> null set (explicit:
+    * the raw staged chain accidentally yields [null] there — a null GRAM
+    * hash surviving the min/distinct — which is not a winnowing value).
+    */
+  def winnowSetCol(text: Column, k: Int = 5, w: Int = 4): Column =
+    when(text.isNull, lit(null).cast("array<bigint>"))
+      .otherwise(winnowMins(winnowHashes(winnowNorm(text), k), w))
 
   /** Word n-gram shingles (distinct), the MinHash/Jaccard input unit. */
   def shingles(text: Column, n: Int): Column = {

@@ -65,6 +65,48 @@ class TextDedupExprSpec extends SparkTestBase {
     }
   }
 
+  test("winnowSet fused == staged Column twin") {
+    for ((k, w) <- Seq((5, 4), (3, 2), (8, 5))) {
+      val d = corpus.select(
+        TextOps.winnowSet(col("text"), k, w).as("f"),
+        TextOps.winnowSetCol(col("text"), k, w).as("c"))
+      assert(d.filter(not(col("f") <=> col("c"))).count() == 0, s"k=$k w=$w")
+    }
+  }
+
+  test("SQL surface: fused kernels callable via GraftExtensions functions") {
+    graft.canon.GraftExtensions.functions.foreach { case (id, info, b) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, b)
+    }
+    corpus.filter(col("text").isNotNull).limit(50)
+      .createOrReplaceTempView("tdx_docs")
+    val viaSql = spark.sql(
+      """SELECT id,
+           minhash_tokens(filter(split(lower(trim(text)), '\\s+'),
+                                 t -> t <> ''), 3, 8) AS sig,
+           simhash32(array_distinct(filter(split(lower(trim(text)), '\\s+'),
+                                           t -> t <> ''))) AS sh,
+           winnow_set(regexp_replace(lower(text), '[^a-z0-9]', ''), 5, 4)
+             AS wfp
+         FROM tdx_docs""")
+    val viaApi = corpus.filter(col("text").isNotNull).limit(50).select(
+      col("id"),
+      TextDedup.signatureText(col("text"), 3, 8).as("sig"),
+      TextDedup.simhash(col("text")).as("sh"),
+      TextOps.winnowSet(col("text"), 5, 4).as("wfp"))
+    assert(viaSql.exceptAll(viaApi).count() == 0)
+    assert(viaApi.exceptAll(viaSql).count() == 0)
+    // vector kernels
+    val v = spark.sql(
+      "SELECT dot_q(array(1L,2L,3L), array(4L,5L,6L)) AS d, " +
+        "cosine_q(array(3L,4L), array(3L,4L)) AS c, " +
+        "quantize_vec(array(CAST(1.5 AS FLOAT), CAST(-0.25 AS FLOAT))) AS q")
+      .head()
+    assert(v.getLong(0) == 32L)
+    assert(math.abs(v.getDouble(1) - 1.0) < 1e-12)
+    assert(v.getSeq[Long](2) == Seq(1500L, -250L))
+  }
+
   test("fused minhash/simhash stay codegen'd (no fallback)") {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")
