@@ -413,6 +413,38 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // robots.txt PARSER (Politeness.parseRobots): raw bodies -> per-host
+    // rules via a declarative group-scan (per-host running-sum window).
+    // Bodies are generated deterministically per host; the oracle is the
+    // hand-derived closed form of what the grammar says they parse to —
+    // googlebot-only groups excluded, comments stripped, empty Disallow
+    // ignored, second star group merged, Crawl-delay seconds -> ms.
+    "q_robots_parse" -> ((s, dir) => {
+      val i = col("doc_id")
+      val body = concat_ws("\n",
+        lit("# robots"),
+        lit("User-agent: googlebot"),
+        lit("Disallow: /bot-only"),
+        lit("User-agent: *"),
+        concat(lit("Disallow: /admin/"), i.cast("string")),
+        lit("Disallow: /x # inline"),
+        lit("Allow: /public"),
+        lit("Disallow:"),
+        when(i % 2 === 0,
+          concat(lit("Crawl-delay: "), (lit(1) + i % 5).cast("string"))),
+        when(i % 3 === 0, lit("User-agent: *")),
+        when(i % 3 === 0,
+          concat(lit("Disallow: /tmp/"), (i % 4).cast("string"))))
+      val bodies = documents(s, dir).filter(col("doc_id") < 20)
+        .select(concat(lit("h"), i.cast("string")).as("host"),
+          body.as("body"))
+      Politeness.parseRobots(bodies)
+        .select(col("host"),
+          array_join(col("disallow"), "|").as("disallow_str"),
+          col("crawlDelayMs").as("crawl_delay_ms"))
+        .orderBy("host")
+    }),
+
     // interleaved-payload document reconstruction: text spans of the
     // engine corpus, offset-ordered, rejoined to the document's text.
     // Order comes from array_sort on (offset, text) — a per-row Catalyst
@@ -671,6 +703,16 @@ object SparkEntry {
                      THEN GREATEST(doc_id - 64, doc_id % 16)
                      ELSE doc_id END AS BIGINT) AS label
          FROM documents ORDER BY node""",
+
+    "q_robots_parse" ->
+      """SELECT concat('h', CAST(doc_id AS VARCHAR)) AS host,
+            concat('/admin/', CAST(doc_id AS VARCHAR), '|/x',
+                   CASE WHEN doc_id % 3 = 0
+                        THEN concat('|/tmp/', CAST(doc_id % 4 AS VARCHAR))
+                        ELSE '' END) AS disallow_str,
+            CAST(CASE WHEN doc_id % 2 = 0 THEN (1 + doc_id % 5) * 1000
+                 ELSE 0 END AS BIGINT) AS crawl_delay_ms
+         FROM documents WHERE doc_id < 20 ORDER BY host""",
 
     "q_spans_text" -> {
       s"""WITH ids AS (SELECT doc_id AS i FROM documents),

@@ -49,6 +49,50 @@ object Politeness {
       .drop("_path", "_disallow")
   }
 
+  /** Parse raw robots.txt bodies into per-host rules — the ingestion
+    * step between fetching /robots.txt and [[robotsFilter]]. Standard
+    * grammar subset: `#` comments stripped, `User-agent:` opens a group,
+    * `Disallow:` prefixes and `Crawl-delay:` seconds apply to the groups
+    * whose agent matches `agent` (default `*`); unknown keys and empty
+    * Disallow values are ignored; multiple matching groups merge (union
+    * of disallows, max delay).
+    *
+    * Fully declarative scan: one posexplode per body, the group id is a
+    * running `sum() over (partition by host order by line)` — per-host
+    * windows, so parsing 10^8 robots bodies parallelizes by host with a
+    * single shuffle, and the output feeds [[robotsFilter]]'s distributed
+    * (non-broadcast) mode directly.
+    */
+  def parseRobots(bodies: DataFrame, hostCol: String = "host",
+      bodyCol: String = "body", agent: String = "*"): DataFrame = {
+    val lines = bodies
+      .select(col(hostCol).as("host"),
+        posexplode(split(col(bodyCol), "\n")).as(Seq("ord", "raw")))
+      .withColumn("line", trim(split(col("raw"), "#").getItem(0)))
+      .filter(col("line") =!= "")
+      .withColumn("key", lower(trim(substring_index(col("line"), ":", 1))))
+      .withColumn("value",
+        trim(expr("substring(line, instr(line, ':') + 1)")))
+    val wGrp = Window.partitionBy(col("host")).orderBy(col("ord"))
+    val grouped = lines.withColumn("grp",
+      sum(when(col("key") === "user-agent", 1).otherwise(0)).over(wGrp))
+    val starGroups = grouped
+      .filter(col("key") === "user-agent" && col("value") === agent)
+      .select(col("host").as("_h"), col("grp").as("_g")).distinct()
+    val inStar = grouped.join(starGroups,
+      col("host") === col("_h") && col("grp") === col("_g"), "left_semi")
+    inStar.groupBy(col("host")).agg(
+      transform(
+        array_sort(collect_list(
+          when(col("key") === "disallow" && col("value") =!= "",
+            struct(col("ord"), col("value").as("v"))))),
+        x => x("v")).as("disallow"),
+      coalesce(
+        (max(when(col("key") === "crawl-delay",
+          col("value").cast("double"))) * 1000).cast("long"),
+        lit(0L)).as("crawlDelayMs"))
+  }
+
   /** The deterministic total order within each host: best-first by
     * (priority asc, discoveryRound asc, parentSeq asc, emissionIdx asc).
     * (parentSeq, emissionIdx) is globally unique — each parent emits a
