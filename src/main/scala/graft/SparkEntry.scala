@@ -441,8 +441,31 @@ object SparkEntry {
       Politeness.parseRobots(bodies)
         .select(col("host"),
           array_join(col("disallow"), "|").as("disallow_str"),
+          array_join(col("allow"), "|").as("allow_str"),
           col("crawlDelayMs").as("crawl_delay_ms"))
         .orderBy("host")
+    }),
+
+    // sitemap ingestion (WebIngest.sitemapUrls): urlset + sitemap-index
+    // <loc> extraction, document order, whitespace-trimmed — the other
+    // bootstrap source next to robots.txt. Closed-form oracle over the
+    // generated XML.
+    "q_sitemap" -> ((s, dir) => {
+      val i = col("doc_id")
+      val urlEntries = (0 to 2).map(j =>
+        when(i % 3 >= j, concat(
+          lit("<url><loc> http://h"), i.cast("string"),
+          lit(s".test/p/$j </loc><lastmod>2026-01-01</lastmod></url>"))))
+      val idx = when(i % 2 === 0, concat(
+        lit("<sitemap><loc>http://h"), i.cast("string"),
+        lit(".test/sm-"), (i % 4).cast("string"), lit(".xml</loc></sitemap>")))
+      val body = concat_ws("\n",
+        (Seq(lit("<?xml version=\"1.0\"?>"), lit("<urlset>"), idx) ++
+          urlEntries :+ lit("</urlset>")): _*)
+      val bodies = documents(s, dir).filter(col("doc_id") < 10)
+        .select(concat(lit("h"), i.cast("string")).as("host"), body.as("body"))
+      graft.engine.WebIngest.sitemapUrls(bodies)
+        .orderBy("host", "kind", "ord")
     }),
 
     // interleaved-payload document reconstruction: text spans of the
@@ -710,9 +733,26 @@ object SparkEntry {
                    CASE WHEN doc_id % 3 = 0
                         THEN concat('|/tmp/', CAST(doc_id % 4 AS VARCHAR))
                         ELSE '' END) AS disallow_str,
+            '/public' AS allow_str,
             CAST(CASE WHEN doc_id % 2 = 0 THEN (1 + doc_id % 5) * 1000
                  ELSE 0 END AS BIGINT) AS crawl_delay_ms
          FROM documents WHERE doc_id < 20 ORDER BY host""",
+
+    "q_sitemap" ->
+      """WITH h AS (SELECT doc_id AS i FROM documents WHERE doc_id < 10),
+          idx AS (SELECT concat('h', CAST(i AS VARCHAR)) AS host,
+                         'index' AS kind, 0 AS ord,
+                         concat('http://h', CAST(i AS VARCHAR), '.test/sm-',
+                                CAST(i % 4 AS VARCHAR), '.xml') AS url
+                  FROM h WHERE i % 2 = 0),
+          urls AS (SELECT concat('h', CAST(i AS VARCHAR)) AS host,
+                          'url' AS kind, CAST(g AS INT) AS ord,
+                          concat('http://h', CAST(i AS VARCHAR), '.test/p/',
+                                 CAST(g AS VARCHAR)) AS url
+                   FROM h, generate_series(0, 2) t(g) WHERE g <= i % 3)
+         SELECT host, kind, ord, url
+         FROM (SELECT * FROM idx UNION ALL SELECT * FROM urls)
+         ORDER BY host, kind, ord""",
 
     "q_spans_text" -> {
       s"""WITH ids AS (SELECT doc_id AS i FROM documents),

@@ -101,7 +101,11 @@ case class RobotsRule(
     host: String,
     disallow: Seq[String],
     crawlDelayMs: Long,
-    hostBudget: Int
+    hostBudget: Int,
+    /** Allow prefixes overriding disallows by LONGEST-match precedence
+      * (the de-facto Google semantics; ties -> allow). Empty = classic
+      * disallow-only behavior. */
+    allow: Seq[String] = Seq.empty
 )
 
 /** Per-round metrics, mirroring the reference success/failure accounting

@@ -1,6 +1,6 @@
 package graft.politeness
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.RobotsRule
@@ -12,9 +12,9 @@ import graft.model.RobotsRule
   * (spire-rs/spire crates/spire-core/src/process/runner.rs:224-226,
   * 289-306). The north rule requires actual enforcement. Mapping:
   *
-  *  - robots rules -> broadcast join on `host` + a higher-order
-  *    `exists(disallow, p -> startswith(path, p))` filter (Catalyst
-  *    built-ins, codegen-friendly, no UDF);
+  *  - robots rules -> broadcast join on `host` + longest-match
+  *    Disallow-vs-Allow precedence via the fused `LongestPrefixLen`
+  *    expression (codegen'd; no UDF);
   *  - per-host budget -> `row_number() over (partition by host order by
   *    priority, discoveryRound, seq) <= hostBudget` — the "window-ranked
   *    priority queue keyed by (host, priority, discovery_ts)" of the
@@ -33,6 +33,7 @@ object Politeness {
     val r0 = robots.toDF().select(
       col("host"),
       col("disallow").as("_disallow"),
+      col("allow").as("_allow"),
       col("hostBudget").as("_hostBudget"))
     // at web scale robots cover 10^6-10^8 hosts — past the engine's
     // threshold the join runs un-hinted (hash-partitioned on host, the
@@ -41,21 +42,32 @@ object Politeness {
     val r = if (broadcastRobots) broadcast(r0) else r0
     val joined = frontier.join(r, Seq("host"), "left")
     val path = regexp_extract(col("canonical"), "^[a-z]+:\\/\\/[^\\/]*([^?#]*)", 1)
+    // LONGEST-match precedence (de-facto Google semantics): blocked iff
+    // the longest matching Disallow prefix is strictly longer than the
+    // longest matching Allow prefix (tie -> allow; no allows == classic
+    // disallow-only). LongestPrefixLen is a fused codegen'd expression —
+    // this filter runs once per frontier candidate per round.
+    def lpl(arr: Column): Column = {
+      import org.apache.spark.sql.GraftExpr
+      GraftExpr.column(RobotsExpr.LongestPrefixLen(
+        GraftExpr.expression(col("_path")), GraftExpr.expression(arr)))
+    }
     joined
       .withColumn("_path", when(path === "", lit("/")).otherwise(path))
       .filter(
         col("_disallow").isNull ||
-          !exists(col("_disallow"), p => startswith(col("_path"), p)))
-      .drop("_path", "_disallow")
+          !(lpl(col("_disallow")) > lpl(col("_allow"))))
+      .drop("_path", "_disallow", "_allow")
   }
 
   /** Parse raw robots.txt bodies into per-host rules — the ingestion
     * step between fetching /robots.txt and [[robotsFilter]]. Standard
     * grammar subset: `#` comments stripped, `User-agent:` opens a group,
-    * `Disallow:` prefixes and `Crawl-delay:` seconds apply to the groups
-    * whose agent matches `agent` (default `*`); unknown keys and empty
-    * Disallow values are ignored; multiple matching groups merge (union
-    * of disallows, max delay).
+    * `Disallow:` / `Allow:` prefixes and `Crawl-delay:` seconds apply to
+    * the groups whose agent matches `agent` (default `*`); unknown keys
+    * and empty values are ignored; multiple matching groups merge (union
+    * of prefixes in line order, max delay). Allow participates in
+    * [[robotsFilter]]'s longest-match precedence.
     *
     * Fully declarative scan: one posexplode per body, the group id is a
     * running `sum() over (partition by host order by line)` — per-host
@@ -81,12 +93,14 @@ object Politeness {
       .select(col("host").as("_h"), col("grp").as("_g")).distinct()
     val inStar = grouped.join(starGroups,
       col("host") === col("_h") && col("grp") === col("_g"), "left_semi")
+    def ordered(key: String) = transform(
+      array_sort(collect_list(
+        when(col("key") === key && col("value") =!= "",
+          struct(col("ord"), col("value").as("v"))))),
+      x => x("v"))
     inStar.groupBy(col("host")).agg(
-      transform(
-        array_sort(collect_list(
-          when(col("key") === "disallow" && col("value") =!= "",
-            struct(col("ord"), col("value").as("v"))))),
-        x => x("v")).as("disallow"),
+      ordered("disallow").as("disallow"),
+      ordered("allow").as("allow"),
       coalesce(
         (max(when(col("key") === "crawl-delay",
           col("value").cast("double"))) * 1000).cast("long"),

@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 import graft.politeness.Politeness
 
 /** robots.txt parsing (Politeness.parseRobots): group scoping, agent
-  * matching, comment/blank handling, multi-group merge, delay units.
+  * matching, comment/blank handling, multi-group merge, delay units —
+  * and Allow longest-match precedence through robotsFilter.
   */
 class RobotsParseSpec extends SparkTestBase {
   import spark.implicits._
@@ -12,8 +13,8 @@ class RobotsParseSpec extends SparkTestBase {
   private def parse(body: String, agent: String = "*") =
     Politeness.parseRobots(Seq(("h.test", body)).toDF("host", "body"),
       agent = agent)
-      .select(col("host"), col("disallow"), col("crawlDelayMs"))
-      .as[(String, Seq[String], Long)].collect().toList
+      .select(col("host"), col("disallow"), col("allow"), col("crawlDelayMs"))
+      .as[(String, Seq[String], Seq[String], Long)].collect().toList
 
   test("star group only; other agents' rules excluded") {
     val body =
@@ -23,22 +24,24 @@ class RobotsParseSpec extends SparkTestBase {
         |User-agent: *
         |Disallow: /a
         |Disallow: /b""".stripMargin
-    assert(parse(body) == List(("h.test", Seq("/a", "/b"), 0L)))
+    assert(parse(body) == List(("h.test", Seq("/a", "/b"), Seq.empty, 0L)))
   }
 
-  test("comments, blanks, empty Disallow, unknown keys ignored; delay in ms") {
+  test("comments, blanks, empty values, unknown keys ignored; delay in ms") {
     val body =
       """# top comment
         |User-agent: *
         |
         |Disallow: /x # trailing comment
         |Disallow:
-        |Allow: /public
+        |Allow: /x/public
+        |Sitemap: http://h.test/sitemap.xml
         |Crawl-delay: 2.5""".stripMargin
-    assert(parse(body) == List(("h.test", Seq("/x"), 2500L)))
+    assert(parse(body) ==
+      List(("h.test", Seq("/x"), Seq("/x/public"), 2500L)))
   }
 
-  test("multiple matching groups merge: union of disallows, max delay") {
+  test("multiple matching groups merge: union of prefixes, max delay") {
     val body =
       """User-agent: *
         |Disallow: /first
@@ -48,7 +51,8 @@ class RobotsParseSpec extends SparkTestBase {
         |User-agent: *
         |Disallow: /second
         |Crawl-delay: 3""".stripMargin
-    assert(parse(body) == List(("h.test", Seq("/first", "/second"), 3000L)))
+    assert(parse(body) ==
+      List(("h.test", Seq("/first", "/second"), Seq.empty, 3000L)))
   }
 
   test("specific agent selects its group; case-insensitive keys") {
@@ -58,7 +62,7 @@ class RobotsParseSpec extends SparkTestBase {
         |User-agent: *
         |Disallow: /star""".stripMargin
     assert(parse(body, agent = "googlebot") ==
-      List(("h.test", Seq("/google"), 0L)))
+      List(("h.test", Seq("/google"), Seq.empty, 0L)))
   }
 
   test("host with no matching group parses to no row (fully allowed)") {
@@ -66,19 +70,37 @@ class RobotsParseSpec extends SparkTestBase {
     assert(parse(body).isEmpty)
   }
 
-  test("parsed rules drive robotsFilter directly") {
-    val rules = Politeness.parseRobots(Seq(
-      ("h.test", "User-agent: *\nDisallow: /admin")).toDF("host", "body"))
-      .select(col("host"), col("disallow"),
-        col("crawlDelayMs"), lit(100).as("hostBudget"))
+  test("robotsFilter longest-match precedence: Allow overrides shorter Disallow") {
+    val rules = Politeness.parseRobots(Seq(("h.test",
+      """User-agent: *
+        |Disallow: /admin
+        |Allow: /admin/public
+        |Disallow: /admin/public/secret""".stripMargin))
+      .toDF("host", "body"))
+      .select(col("host"), col("disallow"), col("crawlDelayMs"),
+        lit(100).as("hostBudget"), col("allow"))
       .as[graft.model.RobotsRule]
     val frontier = Seq(
-      ("http://h.test/admin/x", "h.test"),
-      ("http://h.test/ok", "h.test"),
-      ("http://other.test/admin", "other.test"))
+      ("http://h.test/admin/x", "h.test"),          // blocked: /admin
+      ("http://h.test/admin/public/ok", "h.test"),  // allowed: longer Allow
+      ("http://h.test/admin/public/secret/f", "h.test"), // blocked: longest
+      ("http://h.test/open", "h.test"),             // no rule matches
+      ("http://other.test/admin", "other.test"))    // host without rules
       .toDF("canonical", "host")
     val allowed = Politeness.robotsFilter(frontier, rules)
       .select(col("canonical")).as[String].collect().toSet
-    assert(allowed == Set("http://h.test/ok", "http://other.test/admin"))
+    assert(allowed == Set(
+      "http://h.test/admin/public/ok",
+      "http://h.test/open",
+      "http://other.test/admin"))
+  }
+
+  test("tie between Allow and Disallow of equal length -> allowed") {
+    val rules = Seq(graft.model.RobotsRule("h.test",
+      disallow = Seq("/dir"), crawlDelayMs = 0L, hostBudget = 100,
+      allow = Seq("/dir"))).toDS()
+    val frontier = Seq(("http://h.test/dir/x", "h.test"))
+      .toDF("canonical", "host")
+    assert(Politeness.robotsFilter(frontier, rules).count() == 1)
   }
 }
