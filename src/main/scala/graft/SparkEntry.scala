@@ -446,6 +446,27 @@ object SparkEntry {
         .orderBy("host")
     }),
 
+    // REAL image-header sniffing (Media.sniffImage / MediaExpr): payloads
+    // carry genuine PNG/GIF/JPEG header bytes built from closed-form
+    // dims; the fused sniffer parses them back. The oracle is the
+    // closed form — format routing + resolution filtering at 100TB
+    // without paying a decode.
+    "q_media_sniff" -> ((s, dir) => {
+      val i = col("doc_id")
+      val w = (lit(100) + i % 50).cast("int")
+      val h = (lit(50) + i % 75).cast("int")
+      val fmt = when(i % 3 === 0, lit("png"))
+        .when(i % 3 === 1, lit("gif")).otherwise(lit("jpeg"))
+      val media = documents(s, dir).select(i.as("media_id"),
+        graft.multimodal.Media.headeredPayload(fmt, w, h,
+          encode(substring(col("text"), 1, 16), "UTF-8")).as("payload"))
+      media.select(col("media_id"),
+        graft.multimodal.Media.sniffImage(col("payload")).as("s"))
+        .select(col("media_id"), col("s.format").as("format"),
+          col("s.width").as("width"), col("s.height").as("height"))
+        .orderBy("media_id")
+    }),
+
     // sitemap ingestion (WebIngest.sitemapUrls): urlset + sitemap-index
     // <loc> extraction, document order, whitespace-trimmed — the other
     // bootstrap source next to robots.txt. Closed-form oracle over the
@@ -737,6 +758,14 @@ object SparkEntry {
             CAST(CASE WHEN doc_id % 2 = 0 THEN (1 + doc_id % 5) * 1000
                  ELSE 0 END AS BIGINT) AS crawl_delay_ms
          FROM documents WHERE doc_id < 20 ORDER BY host""",
+
+    "q_media_sniff" ->
+      """SELECT doc_id AS media_id,
+            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                 ELSE 'jpeg' END AS format,
+            CAST(100 + doc_id % 50 AS INT) AS width,
+            CAST(50 + doc_id % 75 AS INT) AS height
+         FROM documents ORDER BY media_id""",
 
     "q_sitemap" ->
       """WITH h AS (SELECT doc_id AS i FROM documents WHERE doc_id < 10),

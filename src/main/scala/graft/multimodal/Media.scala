@@ -82,6 +82,42 @@ object Media {
     }
   }
 
+  /** REAL header sniffing — format + pixel dims from the payload's
+    * header bytes (PNG IHDR / GIF LSD / JPEG SOF walk), no codec, one
+    * fused expression ([[MediaExpr.SniffImage]]). Unknown/truncated
+    * headers -> struct(null, null, null).
+    */
+  def sniffImage(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftExpr
+    GraftExpr.column(MediaExpr.SniffImage(GraftExpr.expression(payload)))
+  }
+
+  /** Deterministic payloads with REAL image headers (valid PNG
+    * signature+IHDR / GIF89a LSD / JPEG SOI+APP0+SOF0 byte sequences
+    * encoding the given dims) followed by filler bytes — what the sniff
+    * gate and specs parse back. Built from hex literals + unhex, i.e.
+    * plain codegen'd Catalyst string ops.
+    */
+  def headeredPayload(format: org.apache.spark.sql.Column,
+      w: org.apache.spark.sql.Column, h: org.apache.spark.sql.Column,
+      filler: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def hex32(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+    def hex16(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+    def le16(c: org.apache.spark.sql.Column) = concat(
+      lpad(hex(pmod(c, lit(256))), 2, "0"),
+      lpad(hex((c / 256).cast("int")), 2, "0"))
+    val png = concat(lit("89504E470D0A1A0A"), lit("0000000D49484452"),
+      hex32(w), hex32(h), lit("0806000000"))
+    val gif = concat(lit("474946383961"), le16(w), le16(h), lit("F70000"))
+    val jpeg = concat(lit("FFD8"),
+      lit("FFE000104A46494600010100000100010000"),
+      lit("FFC0001108"), hex16(h), hex16(w), lit("03011100021101031101"))
+    concat(unhex(
+      when(format === "png", png)
+        .when(format === "gif", gif)
+        .otherwise(jpeg)), filler)
+  }
+
   /** Media table derived from a text corpus: payload = UTF-8 bytes (the
     * deterministic stand-in for real image bytes), format cycled.
     */
