@@ -446,6 +446,23 @@ object SparkEntry {
         .orderBy("host")
     }),
 
+    // HTML -> visible text extraction (TextExtract.HtmlToText): generated
+    // markup with script/style/comment noise and entities; oracle is the
+    // closed form of what the extractor leaves behind
+    "q_html_text" -> ((s, dir) => {
+      val i = col("doc_id")
+      val html = concat(
+        lit("<!-- header comment --><html><head><style>p{x:1}</style>"),
+        lit("</head><body><h1>Title "), i.cast("string"), lit("</h1>"),
+        when(i % 2 === 0, lit("<script>var a = '<p>';</script>"))
+          .otherwise(lit("")),
+        lit("<p>alpha &amp; beta</p><p>x &lt; y &#62; z&nbsp;!</p>"),
+        lit("</body></html>"))
+      documents(s, dir).select(i.as("doc_id"),
+        graft.text.TextExtract.htmlText(html).as("text"))
+        .orderBy("doc_id")
+    }),
+
     // REAL image-header sniffing (Media.sniffImage / MediaExpr): payloads
     // carry genuine PNG/GIF/JPEG header bytes built from closed-form
     // dims; the fused sniffer parses them back. The oracle is the
@@ -758,6 +775,12 @@ object SparkEntry {
             CAST(CASE WHEN doc_id % 2 = 0 THEN (1 + doc_id % 5) * 1000
                  ELSE 0 END AS BIGINT) AS crawl_delay_ms
          FROM documents WHERE doc_id < 20 ORDER BY host""",
+
+    "q_html_text" ->
+      """SELECT doc_id,
+            concat('Title ', CAST(doc_id AS VARCHAR),
+                   ' alpha & beta x < y > z !') AS text
+         FROM documents ORDER BY doc_id""",
 
     "q_media_sniff" ->
       """SELECT doc_id AS media_id,

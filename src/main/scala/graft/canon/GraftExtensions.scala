@@ -75,6 +75,7 @@ object GraftExtensions {
         TextDedupExpr.WinnowSet(args.head,
           litInt("winnow_set(norm, k, w)", args(1)),
           litInt("winnow_set(norm, k, w)", args(2)))),
+      unary("html_to_text", graft.text.TextExtract.HtmlToText.apply),
       // ANN vector kernels
       unary("quantize_vec", AnnExpr.QuantizeVec.apply),
       fn("dot_q", 2, args => AnnExpr.DotQ(args(0), args(1))),

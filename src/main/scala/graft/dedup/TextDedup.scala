@@ -121,6 +121,28 @@ object TextDedup {
       .distinct()
   }
 
+  /** Near-duplicate CLUSTERS — the full corpus-dedup decision, composed
+    * from gated parts: banded MinHash candidate pairs
+    * ([[minhashPairs]]) -> exact connected components
+    * (graph.GraphOps.connectedComponents, min-label to fixpoint) ->
+    * per-doc (canonical id = component minimum, cluster size). Keeping
+    * `doc_id == canonical_id` rows is the standard "keep one per
+    * cluster" dedup policy; singletons are their own canonical.
+    */
+  def dupClusters(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, rowsPerBand: Int): DataFrame = {
+    val pairs = minhashPairs(docs, idCol, textCol, shingleN, k, rowsPerBand)
+    val labels = graft.graph.GraphOps.connectedComponents(
+      docs.select(col(idCol).cast("long").as("id")),
+      pairs.select(col("a").cast("long").as("src"),
+        col("b").cast("long").as("dst")))
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("node").as("doc_id"), col("label").as("canonical_id"),
+        col("cluster_size"))
+  }
+
   /** 32-bit SimHash: bit i of the result is 1 iff the sum over distinct
     * tokens of (+1 / -1 by token-hash bit i) is >= 0. FUSED
     * (TextDedupExpr.SimHash32): tokenization stays declarative (split /

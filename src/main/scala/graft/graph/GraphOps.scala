@@ -119,6 +119,49 @@ object GraphOps {
       .drop("_rpk", "_rank")
   }
 
+  /** EXACT connected components: [[labelPropagation]] iterated to
+    * FIXPOINT (no label changes), not a fixed count — every node ends
+    * with the minimum id of its component. Iteration count is bounded by
+    * the largest component's diameter; each round is one shuffle plus a
+    * driver-side convergence count (control-plane only). `checkpoint`
+    * cuts lineage every `checkpointEvery` rounds — mandatory for deep
+    * graphs (the default persist-based cut handles the common
+    * shallow-cluster case: dup clusters have tiny diameters).
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIterations: Int = 50,
+      checkpointEvery: Int = 8,
+      checkpoint: DataFrame => DataFrame = df =>
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  ): DataFrame = {
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col("id").as("node"), col("id").as("label"))
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIterations) {
+      val fromNbr = und
+        .join(labels, und("b") === labels("node"))
+        .select(col("a").as("node"), col("label"))
+      var next = labels.unionByName(fromNbr)
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"))
+      if ((it + 1) % checkpointEvery == 0) next = checkpoint(next)
+      // convergence = no node's label changed (an anti-join count — the
+      // only driver-side value per round)
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    und.unpersist(blocking = false)
+    labels
+  }
+
   /** Fixed-iteration label propagation over the UNDIRECTED closure of
     * `edges`: every node starts as its own label (its id) and repeatedly
     * takes the min of itself and its neighbors. After k iterations two

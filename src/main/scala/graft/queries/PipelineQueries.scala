@@ -62,6 +62,30 @@ object PipelineQueries {
         sh AS (SELECT doc_id, ($bits) AS sh FROM bs)"""
   }
 
+  /** Shared MinHash-pair CTE chain over `documents`; final CTE `pairs`
+    * has (a, b). Used by q_minhash_pairs and q_dup_clusters so the two
+    * gates cannot drift.
+    */
+  private def minhashPairsCtes: String =
+    s"""tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        sh AS (SELECT doc_id, $shinglesSql AS sh FROM tk),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        hs AS (SELECT doc_id, (${strHashSql("s")} % $P) AS h FROM ex),
+        sig AS (
+          SELECT doc_id, j,
+            min((((j * 2654435761) % $P + 1) * h + ((j * 13 + 7) % $P)) % $P)
+              AS mh
+          FROM hs CROSS JOIN (SELECT unnest(range(16)) AS j) jj
+          GROUP BY doc_id, j),
+        bk AS (
+          SELECT doc_id,
+            concat(CAST(j // 4 AS VARCHAR), ':',
+                   string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j)) AS band
+          FROM sig GROUP BY doc_id, j // 4),
+        pairs AS (
+          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          FROM bk l JOIN bk r ON l.band = r.band AND l.doc_id < r.doc_id)"""
+
   private def bucketSqlB(v: String, offset: Int, bits: Int): String =
     (0 until bits).map { j =>
       s"(CASE WHEN ${dotSql(v, s"(${hyperLit(offset + j)})")} >= 0 THEN ${1L << j} ELSE 0 END)"
@@ -161,6 +185,15 @@ object PipelineQueries {
       TextDedup.minhashPairs(documents(s, dir), "doc_id", "text",
         shingleN = 3, k = 16, rowsPerBand = 4)
         .orderBy("a", "b")),
+
+    // the COMPOSED dedup decision: banded MinHash pairs -> EXACT
+    // connected components (min-label to fixpoint) -> per-doc canonical
+    // id + cluster size. Oracle: the same pair CTEs + a recursive
+    // min-reachability walk.
+    "q_dup_clusters" -> ((s, dir) =>
+      TextDedup.dupClusters(documents(s, dir), "doc_id", "text",
+        shingleN = 3, k = 16, rowsPerBand = 4)
+        .orderBy("doc_id")),
 
     "q_jaccard_pairs" -> ((s, dir) =>
       TextDedup.jaccardPairs(documents(s, dir), "doc_id", "text",
@@ -433,24 +466,28 @@ object PipelineQueries {
           FROM documents ORDER BY doc_id""",
 
     "q_minhash_pairs" ->
-      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
-          sh AS (SELECT doc_id, $shinglesSql AS sh FROM tk),
-          ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-          hs AS (SELECT doc_id, (${strHashSql("s")} % $P) AS h FROM ex),
-          sig AS (
-            SELECT doc_id, j,
-              min((((j * 2654435761) % $P + 1) * h + ((j * 13 + 7) % $P)) % $P)
-                AS mh
-            FROM hs CROSS JOIN (SELECT unnest(range(16)) AS j) jj
-            GROUP BY doc_id, j),
-          bk AS (
-            SELECT doc_id,
-              concat(CAST(j // 4 AS VARCHAR), ':',
-                     string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j)) AS band
-            FROM sig GROUP BY doc_id, j // 4)
-          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-          FROM bk l JOIN bk r ON l.band = r.band AND l.doc_id < r.doc_id
-          ORDER BY a, b""",
+      s"""WITH $minhashPairsCtes
+          SELECT a, b FROM pairs ORDER BY a, b""",
+
+    // recursive min-reachability over the same pair CTEs: walk collects
+    // every id reachable from a node through the undirected pair graph;
+    // min(label) per node == the component minimum == canonical_id
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+          und AS (SELECT a AS x, b AS y FROM pairs
+                  UNION ALL SELECT b, a FROM pairs),
+          walk(node, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT u.x, w.label FROM und u JOIN walk w ON w.node = u.y),
+          comp AS (SELECT node, min(label) AS canonical_id
+                   FROM walk GROUP BY node),
+          sizes AS (SELECT canonical_id, count(*) AS n
+                    FROM comp GROUP BY canonical_id)
+          SELECT c.node AS doc_id, c.canonical_id,
+                 CAST(s.n AS BIGINT) AS cluster_size
+          FROM comp c JOIN sizes s USING (canonical_id)
+          ORDER BY doc_id""",
 
     "q_jaccard_pairs" ->
       s"""WITH tk AS (SELECT doc_id, source, $toksSql AS toks FROM documents),

@@ -89,6 +89,17 @@ class GraphSpec extends SparkTestBase {
     assert(over.count() == 2)
   }
 
+  test("connectedComponents: fixpoint labels on a chain deeper than any fixed k") {
+    // chain 0-1-...-24 (diameter 24) + isolated 100: fixed-k propagation
+    // cannot converge for small k; the fixpoint loop must
+    val nodes = ((0L to 24L) :+ 100L).toDF("id")
+    val edges = (0L until 24L).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = GraphOps.connectedComponents(nodes, edges)
+      .orderBy("node").as[(Long, Long)].collect().toMap
+    assert((0L to 24L).forall(labels(_) == 0L))
+    assert(labels(100L) == 100L)
+  }
+
   test("labelPropagation: k iterations = min over k-hop neighborhood") {
     // two components: chain 0-1-2-3-4 and pair 10-11
     val nodes = (Seq(0L, 1L, 2L, 3L, 4L, 10L, 11L, 20L)).toDF("id")
