@@ -18,6 +18,13 @@ import graft.router.{Handler, Router}
   *     URLs scheduled per second (BASELINE.json metric). Run this main at
   *     two parallelism levels (SPARK_GRAFT_CPUS=8 / 32) on the SAME input
   *     for the N->4N scaling-efficiency evidence (see BENCH/BASELINE.md).
+  *
+  * Self-defense (round-3 verdict #2 — that round's record was poisoned
+  * by hypervisor throttling): every timing is best-of-
+  * SPARK_GRAFT_BENCH_TRIALS (default 2), and the JSON embeds a no-Spark
+  * hardware control (JvmControl canonicalize rows/s) measured before the
+  * queries and after the crawl, plus the round-2-era reference value, so
+  * a throttled VM is visible in the record itself.
   */
 object Bench {
 
@@ -123,15 +130,30 @@ object Bench {
       try spark.read.parquet(s"$sfDir/documents.parquet").limit(100).count()
       catch { case _: Throwable => () }
     }
+    // hardware control (round-3 verdict #2): the r3 record was 17x
+    // slower than r2 on UNCHANGED code — hypervisor throttling with no
+    // in-record evidence. Every bench now carries its own no-Spark
+    // ceiling measurement (canonicalize rows/s on `cpus` plain threads,
+    // the engine's hot workload class), taken BEFORE the queries and
+    // AFTER the crawl so a mid-run throttle window is visible too.
+    // Round-2-era reference on this VM class: ~10.8M rows/s at 32t.
+    val ctrlRows = sys.env.getOrElse("SPARK_GRAFT_CTRL_ROWS", "6000000").toLong
+    val ctrlPre = graft.tools.JvmControl.rate(cpus.toInt, ctrlRows)
+    // best-of-N (round-3 verdict #2): one throttled window must not
+    // poison a query's record; N=2 by default, each timing is min(N)
+    val trials = math.max(1, sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_TRIALS", "2").toInt)
     // a failed query is an ERROR in the output, never a (fast-looking)
     // timing — the bench must not look healthier than it is (VERDICT r02)
     val attempts: Seq[(String, Either[String, Double])] =
       if (crawlOnly) Seq.empty
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
         name -> (try {
-          fn(spark, sfDir).count()
-          Right((System.nanoTime() - t0) / 1e9)
+          Right((1 to trials).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }.min)
         } catch {
           case e: Throwable =>
             Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
@@ -139,8 +161,11 @@ object Bench {
       }
     val results = attempts.collect { case (n, Right(s)) => n -> s }
     val errors = attempts.collect { case (n, Left(m)) => n -> m }
-    val (scheduled, crawlSecs, rate) =
+    val crawlRuns = (1 to trials).map { _ =>
       crawlBench(spark, benchDocs, benchRounds, cpus.toInt)
+    }
+    val (scheduled, crawlSecs, rate) = crawlRuns.minBy(_._2)
+    val ctrlPost = graft.tools.JvmControl.rate(cpus.toInt, ctrlRows)
 
     def f3(d: Double): String = f"$d%.3f"
     def jstr(s: String): String =
@@ -158,7 +183,11 @@ object Bench {
         s""""unit":"urls/sec","queries":$qs,"errors":$errJson,""" +
         s""""sf":"$sfDir","total_sec":${f3(total)},""" +
         s""""crawl_urls_scheduled":$scheduled,""" +
-        s""""crawl_sec":${f3(crawlSecs)},"cpus":$cpus}"""
+        s""""crawl_sec":${f3(crawlSecs)},"cpus":$cpus,""" +
+        s""""trials":$trials,""" +
+        s""""control_canon_rows_per_sec_pre":${f3(ctrlPre)},""" +
+        s""""control_canon_rows_per_sec_post":${f3(ctrlPost)},""" +
+        s""""control_ref_rows_per_sec_32t":10800000.0}"""
     // the metric line must survive log interleaving (round-1 driver parse
     // failed on a mid-run stack trace): write it to a dedicated file FIRST,
     // then print it as the LAST stdout line, after the session is down

@@ -419,12 +419,17 @@ object SparkEntry {
     // hand-derived closed form of what the grammar says they parse to —
     // googlebot-only groups excluded, comments stripped, empty Disallow
     // ignored, second star group merged, Crawl-delay seconds -> ms.
+    // The main group is opened by STACKED user-agent lines
+    // ('GrAfTbOt' directly over '*' — one shared group per RFC 9309),
+    // and a second parse as agent 'graftbot' must pick up that same
+    // group case-insensitively but NOT the star-only repeat group.
     "q_robots_parse" -> ((s, dir) => {
       val i = col("doc_id")
       val body = concat_ws("\n",
         lit("# robots"),
         lit("User-agent: googlebot"),
         lit("Disallow: /bot-only"),
+        lit("User-agent: GrAfTbOt"),
         lit("User-agent: *"),
         concat(lit("Disallow: /admin/"), i.cast("string")),
         lit("Disallow: /x # inline"),
@@ -438,12 +443,15 @@ object SparkEntry {
       val bodies = documents(s, dir).filter(col("doc_id") < 20)
         .select(concat(lit("h"), i.cast("string")).as("host"),
           body.as("body"))
-      Politeness.parseRobots(bodies)
+      val star = Politeness.parseRobots(bodies)
         .select(col("host"),
           array_join(col("disallow"), "|").as("disallow_str"),
           array_join(col("allow"), "|").as("allow_str"),
           col("crawlDelayMs").as("crawl_delay_ms"))
-        .orderBy("host")
+      val bot = Politeness.parseRobots(bodies, agent = "graftbot")
+        .select(col("host"),
+          array_join(col("disallow"), "|").as("bot_disallow_str"))
+      star.join(bot, Seq("host")).orderBy("host")
     }),
 
     // HTML -> visible text extraction (TextExtract.HtmlToText): generated
@@ -773,7 +781,9 @@ object SparkEntry {
                         ELSE '' END) AS disallow_str,
             '/public' AS allow_str,
             CAST(CASE WHEN doc_id % 2 = 0 THEN (1 + doc_id % 5) * 1000
-                 ELSE 0 END AS BIGINT) AS crawl_delay_ms
+                 ELSE 0 END AS BIGINT) AS crawl_delay_ms,
+            concat('/admin/', CAST(doc_id AS VARCHAR), '|/x')
+              AS bot_disallow_str
          FROM documents WHERE doc_id < 20 ORDER BY host""",
 
     "q_html_text" ->

@@ -178,8 +178,11 @@ case class CrawlConfig(
       * few delay hosts) — at web scale robots cover 10^6-10^8 hosts and
       * a driver map/IN-list would OOM. Set to 0 to force the distributed
       * path (the equivalence spec does). Traces are identical on both
-      * paths. */
-    distributedDelayHosts: Int = 100000,
+      * paths. Default 10k (round-3 verdict #4: 100k distinct host
+      * strings per round was a needlessly generous driver-side bound;
+      * at 10k the collect is trivially small and crawls with broad
+      * delay coverage promote to the distributed ledger sooner). */
+    distributedDelayHosts: Int = 10000,
     /** Once the cumulative seen set reaches this many rows, mirror it as
       * a BUCKETED catalog table ([[graft.dedup.BucketedSeenStore]]) and
       * run the exact dedup anti-join co-partitioned against it — the

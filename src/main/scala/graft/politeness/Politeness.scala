@@ -62,12 +62,15 @@ object Politeness {
 
   /** Parse raw robots.txt bodies into per-host rules — the ingestion
     * step between fetching /robots.txt and [[robotsFilter]]. Standard
-    * grammar subset: `#` comments stripped, `User-agent:` opens a group,
-    * `Disallow:` / `Allow:` prefixes and `Crawl-delay:` seconds apply to
-    * the groups whose agent matches `agent` (default `*`); unknown keys
-    * and empty values are ignored; multiple matching groups merge (union
-    * of prefixes in line order, max delay). Allow participates in
-    * [[robotsFilter]]'s longest-match precedence.
+    * grammar subset: `#` comments stripped, a RUN of consecutive
+    * `User-agent:` lines opens ONE group shared by all the stacked
+    * agents (RFC 9309 §2.2.1 — a group has multiple start-of-group
+    * lines); `Disallow:` / `Allow:` prefixes and `Crawl-delay:` seconds
+    * apply to the groups whose agent matches `agent`
+    * CASE-INSENSITIVELY (default `*`); unknown keys and empty values
+    * are ignored; multiple matching groups merge (union of prefixes in
+    * line order, max delay). Allow participates in [[robotsFilter]]'s
+    * longest-match precedence.
     *
     * Fully declarative scan: one posexplode per body, the group id is a
     * running `sum() over (partition by host order by line)` — per-host
@@ -86,10 +89,19 @@ object Politeness {
       .withColumn("value",
         trim(expr("substring(line, instr(line, ':') + 1)")))
     val wGrp = Window.partitionBy(col("host")).orderBy(col("ord"))
-    val grouped = lines.withColumn("grp",
-      sum(when(col("key") === "user-agent", 1).otherwise(0)).over(wGrp))
+    // group id increments only when a user-agent line FOLLOWS a
+    // non-user-agent line: stacked UA lines ('User-agent: *' directly
+    // over 'User-agent: googlebot') share one group per RFC 9309
+    val grouped = lines
+      .withColumn("_prevKey", lag(col("key"), 1).over(wGrp))
+      .withColumn("grp",
+        sum(when(col("key") === "user-agent" &&
+          (col("_prevKey").isNull || col("_prevKey") =!= "user-agent"),
+          1).otherwise(0)).over(wGrp))
+      .drop("_prevKey")
     val starGroups = grouped
-      .filter(col("key") === "user-agent" && col("value") === agent)
+      .filter(col("key") === "user-agent" &&
+        lower(col("value")) === agent.toLowerCase)
       .select(col("host").as("_h"), col("grp").as("_g")).distinct()
     val inStar = grouped.join(starGroups,
       col("host") === col("_h") && col("grp") === col("_g"), "left_semi")

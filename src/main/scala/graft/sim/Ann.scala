@@ -88,8 +88,14 @@ object Ann {
     * nBits = [[chooseBits]](n, targetBucketRows).
     */
   def lshBucket(vQ: Column, dim: Int, nBits: Int = 8, offset: Int = 0): Column =
-    exprCol(AnnExpr.LshBits(colExpr(vQ),
-      (0 until nBits).map(j => hyper(offset + j, dim))))
+    // coalesce: the fused expression is null-intolerant (NULL vector ->
+    // NULL), but the documented semantics — and the Column twin below,
+    // where every when() falls through to 0 — put null vectors in
+    // bucket 0. Keep the twins bit-identical on every input.
+    coalesce(
+      exprCol(AnnExpr.LshBits(colExpr(vQ),
+        (0 until nBits).map(j => hyper(offset + j, dim)))),
+      lit(0L))
 
   /** Declarative twin of [[lshBucket]] (one interpreted fold per plane). */
   def lshBucketCol(vQ: Column, dim: Int, nBits: Int = 8, offset: Int = 0): Column = {

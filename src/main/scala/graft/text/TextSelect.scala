@@ -1,0 +1,122 @@
+package graft.text
+
+import java.util.regex.Pattern
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{element_at, filter, transform}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Declarative element/attribute extraction — the reference's ONE
+  * unshipped promise: `Elements<T: Select>` is `todo!()` in the
+  * reference itself (spire-rs/spire crates/spire/src/extract/select.rs:
+  * 67-76; the Select derive likewise, spire-macros/src/lib.rs:29-39).
+  * The intended semantics, per its trait surface (select.rs:27-35), is
+  * "give me the matching elements of this markup as attribute maps" —
+  * reconstructed here Spark-first:
+  *
+  *   selectAttrs(html, "a")  ->  array<map<string,string>>
+  *
+  * one map per occurrence of the element in document order, attribute
+  * names lowercased, first occurrence of a duplicate attribute wins,
+  * quoted ("v" / 'v'), unquoted and bare (valueless -> "") attributes
+  * all recognized, tag matching case-insensitive. The typed-struct
+  * layer of the reference's design maps onto Spark columns, not Scala
+  * macros: `selectAttr(html, tag, attr)` projects one attribute as
+  * array<string> and a `select`/`withColumn` over several of those IS
+  * the `#[derive(Select)]` struct.
+  *
+  * Same scope discipline as [[TextExtract]]: a regex ELEMENT SCANNER,
+  * not an HTML5 tree parser — no nesting, no inner text (that is
+  * [[TextExtract.htmlText]]'s job). That covers the actual use the
+  * reference advertises (attribute harvesting: hrefs, srcs, metadata)
+  * with one codegen'd pass per row and per-tag patterns compiled once
+  * per JVM — no UDF, no shuffle, scales like any projection.
+  */
+object TextSelect {
+
+  private val tagPatterns =
+    new java.util.concurrent.ConcurrentHashMap[String, Pattern]()
+
+  /** Opening-tag scanner for one element name: `<tag ...>`, `<tag>`,
+    * `<tag/>`; group(1) = the attribute region. The lookahead stops
+    * `<a` from matching `<abbr`.
+    */
+  private def patternFor(tag: String): Pattern =
+    tagPatterns.computeIfAbsent(tag.toLowerCase, t =>
+      Pattern.compile("(?is)<" + Pattern.quote(t) + "(?=[\\s/>])([^>]*)>"))
+
+  /** name="v" | name='v' | name=v | name (bare -> ""). */
+  private val attrP = Pattern.compile(
+    "([a-zA-Z_:][-a-zA-Z0-9_:.]*)\\s*(?:=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+)))?")
+
+  /** JVM core: one scan of `html` for `tag` elements; per element one
+    * scan of its attribute region. Called from generated code.
+    */
+  def extract(html: UTF8String, tag: UTF8String): ArrayData = {
+    val m = patternFor(tag.toString).matcher(html.toString)
+    val elems = scala.collection.mutable.ArrayBuffer.empty[Any]
+    while (m.find()) {
+      val am = attrP.matcher(m.group(1))
+      val keys = scala.collection.mutable.ArrayBuffer.empty[Any]
+      val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      while (am.find()) {
+        val name = am.group(1).toLowerCase
+        if (seen.add(name)) {
+          val v =
+            if (am.group(2) != null) am.group(2)
+            else if (am.group(3) != null) am.group(3)
+            else if (am.group(4) != null) am.group(4)
+            else ""
+          keys += UTF8String.fromString(name)
+          vals += UTF8String.fromString(v)
+        }
+      }
+      elems += new ArrayBasedMapData(
+        new GenericArrayData(keys.toArray),
+        new GenericArrayData(vals.toArray))
+    }
+    new GenericArrayData(elems.toArray)
+  }
+
+  /** Fused expression: html, tag -> array<map<string,string>>. */
+  case class SelectAttrs(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType =
+      ArrayType(MapType(StringType, StringType, valueContainsNull = false),
+        containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "select_attrs"
+
+    override protected def nullSafeEval(html: Any, tag: Any): Any =
+      extract(html.asInstanceOf[UTF8String], tag.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (h, t) => s"graft.text.TextSelect.extract($h, $t)")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SelectAttrs =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** All `tag` elements of `html` as attribute maps, document order. */
+  def selectAttrs(html: Column, tag: String): Column = {
+    import org.apache.spark.sql.GraftExpr
+    GraftExpr.column(SelectAttrs(GraftExpr.expression(html),
+      Literal(UTF8String.fromString(tag), StringType)))
+  }
+
+  /** One attribute across all `tag` elements, document order, elements
+    * without the attribute skipped — e.g. every <a> href of a page.
+    * Composes declaratively over [[selectAttrs]] (the map lookup is
+    * cheap; the single fused scan did the parsing).
+    */
+  def selectAttr(html: Column, tag: String, attr: String): Column =
+    filter(
+      transform(selectAttrs(html, tag), m => element_at(m, attr)),
+      v => v.isNotNull)
+}

@@ -26,7 +26,9 @@ class AnnSpec extends SparkTestBase {
       }
       (i, v)
     } :+ (300L, Seq.empty[Option[Float]]) // empty vector
-    rows.toDF("id", "vec")
+    val withNullVec = rows :+
+      (301L, null.asInstanceOf[Seq[Option[Float]]]) // NULL vector row
+    withNullVec.toDF("id", "vec")
   }
 
   test("quantize fused == Column twin (incl. null element, empty array)") {
@@ -66,6 +68,18 @@ class AnnSpec extends SparkTestBase {
 
   test("lshBucket null contract: null element => bucket 0 (twin-equal)") {
     val q = corpus.filter(col("id") === 42).select(Ann.quantize(col("vec")).as("v"))
+    val (f, c) = q.select(
+      Ann.lshBucket(col("v"), dim, 8).as("f"),
+      Ann.lshBucketCol(col("v"), dim, 8).as("c"))
+      .as[(Long, Long)].head()
+    assert(f == 0L && c == 0L)
+  }
+
+  test("lshBucket null contract: NULL VECTOR => bucket 0 (twin-equal)") {
+    // the fused expression alone is null-intolerant (-> NULL); the
+    // coalesce in lshBucket must pin it to the twin's bucket-0 behavior
+    val q = corpus.filter(col("id") === 301)
+      .select(Ann.quantize(col("vec")).as("v"))
     val (f, c) = q.select(
       Ann.lshBucket(col("v"), dim, 8).as("f"),
       Ann.lshBucketCol(col("v"), dim, 8).as("c"))

@@ -55,6 +55,32 @@ class RobotsParseSpec extends SparkTestBase {
       List(("h.test", Seq("/first", "/second"), Seq.empty, 3000L)))
   }
 
+  test("stacked User-agent lines share ONE group (RFC 9309)") {
+    // the Disallow attaches to BOTH googlebot and * — the old parser
+    // opened a fresh group per UA line and the * crawler dropped it
+    val body =
+      """User-agent: *
+        |User-agent: googlebot
+        |Disallow: /x
+        |User-agent: other
+        |Disallow: /other-only""".stripMargin
+    assert(parse(body) == List(("h.test", Seq("/x"), Seq.empty, 0L)))
+    assert(parse(body, agent = "googlebot") ==
+      List(("h.test", Seq("/x"), Seq.empty, 0L)))
+    assert(parse(body, agent = "other") ==
+      List(("h.test", Seq("/other-only"), Seq.empty, 0L)))
+  }
+
+  test("User-agent VALUE matching is case-insensitive (RFC 9309)") {
+    val body =
+      """User-agent: GoogleBot
+        |Disallow: /g""".stripMargin
+    assert(parse(body, agent = "googlebot") ==
+      List(("h.test", Seq("/g"), Seq.empty, 0L)))
+    assert(parse(body, agent = "GOOGLEBOT") ==
+      List(("h.test", Seq("/g"), Seq.empty, 0L)))
+  }
+
   test("specific agent selects its group; case-insensitive keys") {
     val body =
       """USER-AGENT: googlebot
