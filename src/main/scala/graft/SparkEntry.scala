@@ -454,6 +454,37 @@ object SparkEntry {
       star.join(bot, Seq("host")).orderBy("host")
     }),
 
+    // Selector-style element/attribute extraction (TextSelect — the
+    // reference's Elements<Select>, todo!()-stubbed there, semantics
+    // reconstructed): generated markup exercises case-insensitive tag
+    // match (<A>), quoted/unquoted/bare attributes, and per-element
+    // attribute maps; oracle is the closed form of the attribute grammar
+    "q_select_attrs" -> ((s, dir) => {
+      import graft.text.TextSelect
+      val i = col("doc_id")
+      val html = concat(
+        lit("<html><body><A HREF=\"/u"), i.cast("string"),
+        lit("\" class='nav'>x</A>"),
+        lit("<img src=img"), i.cast("string"), lit(".png width=10>"),
+        when(i % 2 === 0,
+          concat(lit("<a href='/v"), (i % 7).cast("string"),
+            lit("' data-x>y</a>"))).otherwise(lit("")),
+        lit("<abbr title=\"t\">z</abbr></body></html>"))
+      val anchors = TextSelect.selectAttrs(col("_html"), "a")
+      val img1 = element_at(TextSelect.selectAttrs(col("_html"), "img"), 1)
+      documents(s, dir).withColumn("_html", html)
+        .select(i.as("doc_id"),
+          array_join(TextSelect.selectAttr(col("_html"), "a", "href"), "|")
+            .as("a_hrefs"),
+          size(anchors).as("a_count"),
+          element_at(img1, "src").as("img_src"),
+          element_at(img1, "width").as("img_width"),
+          when(size(anchors) >= 2,
+            array_join(map_keys(element_at(anchors, 2)), ","))
+            .otherwise(lit("")).as("a2_keys"))
+        .orderBy("doc_id")
+    }),
+
     // HTML -> visible text extraction (TextExtract.HtmlToText): generated
     // markup with script/style/comment noise and entities; oracle is the
     // closed form of what the extractor leaves behind
@@ -785,6 +816,20 @@ object SparkEntry {
             concat('/admin/', CAST(doc_id AS VARCHAR), '|/x')
               AS bot_disallow_str
          FROM documents WHERE doc_id < 20 ORDER BY host""",
+
+    "q_select_attrs" ->
+      """SELECT doc_id,
+            concat('/u', CAST(doc_id AS VARCHAR),
+                   CASE WHEN doc_id % 2 = 0
+                        THEN concat('|/v', CAST(doc_id % 7 AS VARCHAR))
+                        ELSE '' END) AS a_hrefs,
+            CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT)
+              AS a_count,
+            concat('img', CAST(doc_id AS VARCHAR), '.png') AS img_src,
+            '10' AS img_width,
+            CASE WHEN doc_id % 2 = 0 THEN 'href,data-x' ELSE '' END
+              AS a2_keys
+         FROM documents ORDER BY doc_id""",
 
     "q_html_text" ->
       """SELECT doc_id,

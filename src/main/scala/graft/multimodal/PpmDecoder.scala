@@ -1,0 +1,72 @@
+package graft.multimodal
+
+import graft.multimodal.Media.{MediaDecoder, MediaFeatures}
+
+/** REAL pixel decoder for binary PPM (P6) — pure JVM, no codec jar.
+  * Exists to prove [[Media]]'s one-class decoder seam with an actual
+  * second implementation (round-3 verdict #8): the same
+  * `extractFeatures` / `resizeMedia` plumbing that runs the
+  * [[Media.StubDecoder]] runs this and yields REAL content statistics.
+  *
+  * Format: `P6` <ws> width <ws> height <ws> maxval <one ws>, then
+  * width*height*3 raw RGB bytes (`#` comments allowed in the header —
+  * the netpbm grammar). feature(k) = mean of the pixel bytes at offsets
+  * ≡ k (mod featureDim), normalized by maxval, accumulated in exact
+  * integer sums (deterministic at any partitioning) — a constant-color
+  * image yields that color, channel stripes land in distinct buckets
+  * when featureDim % 3 == 0.
+  *
+  * Malformed payloads -> dims (0,0) + zero features, never a throw: one
+  * corrupt asset must not kill a 10^9-row decode stage. The inherited
+  * integer-exact `resize` consumes the REAL header dims.
+  */
+class PpmDecoder(featureDim: Int) extends MediaDecoder {
+
+  def decode(mediaId: Long, format: String,
+      payload: Array[Byte]): MediaFeatures = {
+    try {
+      var pos = 0
+      def skipWs(): Unit = {
+        var go = true
+        while (go && pos < payload.length) {
+          val b = payload(pos)
+          if (b == '#') { while (pos < payload.length && payload(pos) != '\n') pos += 1 }
+          else if (Character.isWhitespace(b)) pos += 1
+          else go = false
+        }
+      }
+      def token(): String = {
+        skipWs()
+        val s = pos
+        while (pos < payload.length && !Character.isWhitespace(payload(pos)))
+          pos += 1
+        new String(payload, s, pos - s, "US-ASCII")
+      }
+      require(token() == "P6", "not P6")
+      val w = token().toInt
+      val h = token().toInt
+      val maxv = token().toInt
+      pos += 1 // exactly one whitespace byte separates header and raster
+      val n = w * h * 3
+      require(w > 0 && h > 0 && maxv > 0 && pos + n <= payload.length,
+        "truncated raster")
+      val sums = new Array[Long](featureDim)
+      val counts = new Array[Long](featureDim)
+      var i = 0
+      while (i < n) {
+        sums(i % featureDim) += (payload(pos + i) & 0xff).toLong
+        counts(i % featureDim) += 1L
+        i += 1
+      }
+      val feats = (0 until featureDim).map { k =>
+        if (counts(k) == 0L) 0f
+        else (sums(k).toDouble / (counts(k).toDouble * maxv)).toFloat
+      }
+      MediaFeatures(mediaId, format, payload.length.toLong, w, h, feats)
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        MediaFeatures(mediaId, format, payload.length.toLong, 0, 0,
+          Seq.fill(featureDim)(0f))
+    }
+  }
+}

@@ -172,6 +172,86 @@ object StreamOps {
       }
   }
 
+  /** One robots-joined frontier candidate (post stream-static join). */
+  case class RobotsCand(ts: Timestamp, url: String, canonical: String,
+      host: String, blocked: Boolean, crawlDelayMs: Long)
+
+  /** [[scheduleStream]] with the robots tier wired to the BATCH
+    * machinery (round-3 verdict #6): rules arrive as the DataFrame
+    * [[graft.politeness.Politeness.parseRobots]] produces (host,
+    * disallow, allow, crawlDelayMs), not a driver Map, and blocking
+    * uses the SAME fused longest-match arithmetic as the batch
+    * `robotsFilter` (RobotsExpr.LongestPrefixLen: blocked iff the
+    * longest matching Disallow prefix is strictly longer than the
+    * longest matching Allow prefix). Execution shape:
+    *
+    *  1. canonicalize + host projection (the batch Canon expressions),
+    *  2. STREAM-STATIC broadcast join against the robots table — Spark
+    *     re-plans the static side each micro-batch, so refreshed robots
+    *     snapshots are picked up without restarting the query,
+    *  3. the same keyed state machine as [[scheduleStream]] (exact seen
+    *     hashes + apply_defer deadline), with each host's crawl delay
+    *     carried on the joined row.
+    *
+    * Hosts absent from `robots` are unblocked with zero delay.
+    */
+  def scheduleStreamWithRobots(
+      urls: Dataset[Discovered],
+      robots: DataFrame,
+      defaultBudget: Int
+  ): Dataset[ScheduleDecision] = {
+    import urls.sparkSession.implicits._
+    import org.apache.spark.sql.{Column, GraftExpr}
+    import graft.canon.Canon
+    def lpl(path: Column, arr: Column): Column =
+      GraftExpr.column(graft.politeness.RobotsExpr.LongestPrefixLen(
+        GraftExpr.expression(path), GraftExpr.expression(arr)))
+    val r = broadcast(robots.select(col("host").as("_rh"),
+      col("disallow").as("_dis"), col("allow").as("_alw"),
+      col("crawlDelayMs").as("_delay")))
+    val rawPath =
+      regexp_extract(col("canonical"), "^[a-z]+:\\/\\/[^\\/]*([^?#]*)", 1)
+    urls.toDF()
+      .withColumn("canonical", Canon.canonicalize(col("url")))
+      .withColumn("host", coalesce(Canon.host(col("canonical")), lit("")))
+      .join(r, col("host") === col("_rh"), "left")
+      .withColumn("_path", when(rawPath === "", lit("/")).otherwise(rawPath))
+      .select(col("ts"), col("url"),
+        coalesce(col("canonical"), lit("")).as("canonical"), col("host"),
+        coalesce(col("_dis").isNotNull &&
+          (lpl(col("_path"), col("_dis")) > lpl(col("_path"), col("_alw"))),
+          lit(false)).as("blocked"),
+        coalesce(col("_delay"), lit(0L)).as("crawlDelayMs"))
+      .as[RobotsCand]
+      .groupByKey(_.host)
+      .flatMapGroupsWithState[HostSchedState, ScheduleDecision](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (host, rows, state: GroupState[HostSchedState]) =>
+          var st = state.getOption.getOrElse(HostSchedState(Set.empty, 0L))
+          var budget = defaultBudget
+          val out = rows.toSeq.sortBy(c => (c.ts.getTime, c.url)).map { c =>
+            val t = c.ts.getTime
+            val action =
+              if (c.canonical.isEmpty) "invalid"
+              else if (st.seen.contains(urlHash64(c.canonical))) "duplicate"
+              else if (c.blocked) "robots"
+              else if (t < st.notBefore) "delayed"
+              else if (budget <= 0) "over_budget"
+              else {
+                budget -= 1
+                st = HostSchedState(st.seen + urlHash64(c.canonical),
+                  if (c.crawlDelayMs > 0)
+                    math.max(st.notBefore, t) + c.crawlDelayMs
+                  else st.notBefore)
+                "scheduled"
+              }
+            ScheduleDecision(host, c.url, c.canonical, action)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Batch-parity version of [[hostRates]] (same plan shape minus the
     * watermark) — used for oracle checks and to keep one definition of
     * the aggregation semantics.

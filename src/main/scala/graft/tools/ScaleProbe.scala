@@ -137,6 +137,49 @@ object ScaleProbe {
       return
     }
 
+    // cc mode (round-3 verdict #7): connectedComponents to FIXPOINT over
+    // a mixed-size graph — bulk components of ~8 nodes (chain segments)
+    // plus one deep chain of CC_DEEP nodes that forces ~CC_DEEP
+    // iterations. Evidence sought: per-iteration wall stays FLAT (the
+    // pre-fix loop grew superlinearly with iteration depth because each
+    // uncached action replayed prior joins and the nested plan string
+    // exploded) and the loop converges, not exhausts maxIterations.
+    if (sys.env.get("SPARK_GRAFT_PROBE_MODE").contains("cc")) {
+      import graft.graph.GraphOps
+      val deep = sys.env.getOrElse("SPARK_GRAFT_PROBE_CC_DEEP", "24").toInt
+      val nodes = spark.range(n).select(col("id"))
+      val edges = spark.range(n - 1)
+        .filter(col("id") < deep || col("id") % 8 =!= 7)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      val iterWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var last = System.nanoTime()
+      val t0cc = last
+      val labels = GraphOps.connectedComponents(nodes, edges,
+        maxIterations = deep + 10,
+        checkpoint = df => {
+          val r = df.localCheckpoint()
+          val now = System.nanoTime()
+          iterWalls += (now - last) / 1e9
+          last = now
+          r
+        })
+      val agg = labels.agg(count(lit(1)), countDistinct(col("label")))
+        .collect()(0)
+      val secs = (System.nanoTime() - t0cc) / 1e9
+      require(agg.getLong(0) == n, s"label rows ${agg.getLong(0)} != $n")
+      val iters = iterWalls.size
+      require(iters < deep + 10, "did not converge before maxIterations")
+      // flatness: compare the mean of the last 5 iterations to the mean
+      // of iterations 2-6 (skip iteration 1 — it pays session/codegen
+      // warmup); the pre-fix loop grew without bound
+      val head5 = iterWalls.slice(1, 6)
+      val tail5 = iterWalls.takeRight(5)
+      val flat = tail5.sum / tail5.size / (head5.sum / head5.size)
+      println(f"""{"probe":"cc_fixpoint","nodes":$n,"deep_chain":$deep,"iterations":$iters,"components":${agg.getLong(1)},"sec":$secs%.1f,"iter_walls_sec":[${iterWalls.map(w => f"$w%.2f").mkString(",")}],"tail_over_head_mean":$flat%.2f,"cpus":$cpus}""")
+      spark.stop()
+      return
+    }
+
     val t0 = System.nanoTime()
     val id = col("id")
     val messy = concat(

@@ -85,6 +85,54 @@ class StreamingSpec extends SparkTestBase {
     assert(yDecisions == Set("over_budget", "scheduled"))
   }
 
+  test("robots-wired scheduler: parseRobots rules drive blocking/delay " +
+      "across micro-batches (longest-match Allow precedence)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps.{Discovered, ScheduleDecision}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // rules come from the BATCH robots parser, not a hand-built map
+    val robots = graft.politeness.Politeness.parseRobots(Seq(
+      ("guarded.test",
+        """User-agent: *
+          |Disallow: /admin
+          |Allow: /admin/public
+          |Crawl-delay: 30""".stripMargin),
+      ("open.test", "User-agent: googlebot\nDisallow: /na"))
+      .toDF("host", "body"))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val src = MemoryStream[Discovered]
+    val q = StreamOps.scheduleStreamWithRobots(src.toDS(), robots,
+      defaultBudget = 100)
+      .toDF().writeStream.format("memory").queryName("sched_robots")
+      .outputMode("update").start()
+    // batch 1: Disallow blocks /admin/secret but Allow (longer match)
+    // admits /admin/public/x; the 30s crawl-delay arms after the first
+    // scheduled guarded.test fetch
+    src.addData(
+      Discovered(ts(0, 0), "http://guarded.test/admin/secret"),
+      Discovered(ts(0, 1), "http://guarded.test/admin/public/x"),
+      Discovered(ts(0, 10), "http://guarded.test/ok"), // within 30s delay
+      Discovered(ts(0, 0), "http://open.test/anything")) // * group absent
+    q.processAllAvailable()
+    // batch 2: robots STILL block (static side re-joined per batch);
+    // the delayed URL is past the deadline now; dedup crosses batches
+    src.addData(
+      Discovered(ts(1, 0), "http://guarded.test/admin/secret2"),
+      Discovered(ts(1, 0), "http://guarded.test/ok"),
+      Discovered(ts(1, 1), "http://open.test/anything")) // duplicate
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("sched_robots").as[ScheduleDecision].collect()
+    val byUrl = all.groupBy(_.url)
+      .map { case (u, ds) => u -> ds.map(_.action).toSet }
+    assert(byUrl("http://guarded.test/admin/secret") == Set("robots"))
+    assert(byUrl("http://guarded.test/admin/secret2") == Set("robots"))
+    assert(byUrl("http://guarded.test/admin/public/x") == Set("scheduled"))
+    assert(byUrl("http://guarded.test/ok") == Set("delayed", "scheduled"))
+    assert(byUrl("http://open.test/anything") == Set("scheduled", "duplicate"))
+  }
+
   test("politeness state: notBefore = max(existing, now) + delay per host") {
     val src = events.toDS()
     // batch Dataset through the same mapGroupsWithState logic requires a
