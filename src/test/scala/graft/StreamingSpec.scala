@@ -133,6 +133,55 @@ class StreamingSpec extends SparkTestBase {
     assert(byUrl("http://open.test/anything") == Set("scheduled", "duplicate"))
   }
 
+  test("scheduler state survives a query RESTART from checkpointLocation " +
+      "(streaming resume story)") {
+    import graft.streaming.StreamOps.{Discovered, HostRules, ScheduleDecision}
+    val ckpt = SparkTestBase.tmpDir("stream-ckpt")
+    val srcDir = SparkTestBase.tmpDir("stream-restart-src")
+    val rules = Map.empty[String, HostRules]
+    val schema = Seq.empty[Discovered].toDF().schema
+    // file source + foreachBatch sink, not MemoryStream/memory: both
+    // ends must be RECOVERABLE for checkpoint restart (a fresh
+    // MemoryStream restarts its offsets against the recovered WAL and
+    // the memory sink refuses recovery outright). Two query LIVES over
+    // the same directory + checkpoint model the real stop/resume of a
+    // continuous crawl.
+    def runLife(): Seq[ScheduleDecision] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[ScheduleDecision]
+      val src = spark.readStream.schema(schema).parquet(srcDir)
+        .as[Discovered]
+      val q = StreamOps.scheduleStream(src, rules, defaultBudget = 100)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[ScheduleDecision],
+            _: Long) =>
+          got.synchronized { got ++= batch.collect() }
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      got.toSeq
+    }
+    // life 1: schedule two URLs, graceful stop
+    Seq(Discovered(ts(0, 0), "http://h.test/a"),
+      Discovered(ts(0, 1), "http://h.test/b")).toDF()
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runLife()
+    // life 2: a new file arrives; the restarted query must recover the
+    // per-host seen-hash state, so the re-offered URL is a duplicate,
+    // not a fresh schedule — the crawl-resume contract, streaming form
+    Seq(Discovered(ts(1, 0), "http://h.test/a"), // seen in life 1
+      Discovered(ts(1, 1), "http://h.test/c")).toDF() // fresh
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val d2 = runLife().map(d => d.url -> d.action).toMap
+    assert(d2.get("http://h.test/a").contains("duplicate"))
+    assert(d2.get("http://h.test/c").contains("scheduled"))
+    // life-1 rows were NOT replayed into life 2 (offset log honored)
+    assert(!d2.contains("http://h.test/b"))
+  }
+
   test("politeness state: notBefore = max(existing, now) + delay per host") {
     val src = events.toDS()
     // batch Dataset through the same mapGroupsWithState logic requires a
