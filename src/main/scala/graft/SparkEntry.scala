@@ -485,6 +485,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Composed link harvest — the scraper user story end to end:
+    // selector extraction (TextSelect) -> URL canonicalization (Canon,
+    // messy scheme/host case + default port + unsorted query) -> drop
+    // non-absolute hrefs (canonicalize -> null) -> per-host dedup
+    // counts. One codegen'd projection + one host-keyed aggregate.
+    "q_extract_links" -> ((s, dir) => {
+      import graft.text.TextSelect
+      val i = col("doc_id")
+      val html = concat(
+        lit("<html><body><a href=\"HTTP://Host"), (i % 10).cast("string"),
+        lit(".Test:80/p/"), (i % 100).cast("string"),
+        lit("?b=2&a=1\">x</a><a href='/rel/"), i.cast("string"),
+        lit("'>r</a></body></html>"))
+      documents(s, dir).withColumn("_html", html)
+        .select(explode(TextSelect.selectAttr(col("_html"), "a", "href"))
+          .as("href"))
+        .select(Canon.canonicalize(col("href")).as("canonical"))
+        .filter(col("canonical").isNotNull)
+        .groupBy(Canon.host(col("canonical")).as("host"))
+        .agg(countDistinct(col("canonical")).as("distinct_urls"),
+          count(lit(1)).as("total_refs"))
+        .orderBy("host")
+    }),
+
     // HTML -> visible text extraction (TextExtract.HtmlToText): generated
     // markup with script/style/comment noise and entities; oracle is the
     // closed form of what the extractor leaves behind
@@ -830,6 +854,19 @@ object SparkEntry {
             CASE WHEN doc_id % 2 = 0 THEN 'href,data-x' ELSE '' END
               AS a2_keys
          FROM documents ORDER BY doc_id""",
+
+    "q_extract_links" ->
+      """WITH urls AS (
+           SELECT concat('http://host', CAST(doc_id % 10 AS VARCHAR),
+                         '.test/p/', CAST(doc_id % 100 AS VARCHAR),
+                         '?a=1&b=2') AS canonical,
+                  concat('host', CAST(doc_id % 10 AS VARCHAR), '.test')
+                    AS host
+           FROM documents)
+         SELECT host,
+                CAST(COUNT(DISTINCT canonical) AS BIGINT) AS distinct_urls,
+                CAST(COUNT(*) AS BIGINT) AS total_refs
+         FROM urls GROUP BY host ORDER BY host""",
 
     "q_html_text" ->
       """SELECT doc_id,

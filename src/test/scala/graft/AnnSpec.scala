@@ -105,6 +105,33 @@ class AnnSpec extends SparkTestBase {
     assert(d.filter(not(col("f") <=> col("c"))).count() == 0)
   }
 
+  test("LSH recall vs brute-force ground truth; coarser buckets recall more") {
+    // Deterministic corpus + deterministic hyperplanes => recall is a
+    // FIXED number, so this pins the accuracy/cost trade-off the LSH
+    // tier sells: the single-bucket search trades recall for scanning
+    // only ~N/2^bits rows, and widening buckets (fewer bits) buys
+    // recall back monotonically (on average over queries).
+    val vecs = corpus.filter(col("id") < 300 && col("id") =!= 42)
+    val qids = Seq(7L, 31L, 101L, 157L, 263L)
+    def recallAt(bits: Int): Seq[Double] = qids.map { qid =>
+      val query = corpus.filter(col("id") === qid)
+        .select(Ann.quantize(col("vec")).as("qvec"))
+      val truth = Ann.bruteForceTopK(vecs, "id", "vec", query, 10)
+        .select("id").as[Long].collect().toSet
+      val got = Ann.lshTopK(vecs, "id", "vec", query, dim, 10, nBits = bits)
+        .select("id").as[Long].collect().toSet
+      (truth intersect got).size.toDouble / truth.size
+    }
+    val r4 = recallAt(4)
+    val r8 = recallAt(8)
+    val mean4 = r4.sum / r4.size
+    val mean8 = r8.sum / r8.size
+    // every query at 4 bits finds at least the query vector itself
+    assert(r4.forall(_ > 0.0), s"r4=$r4")
+    assert(mean4 >= 0.2, s"mean4=$mean4 r4=$r4")
+    assert(mean4 >= mean8, s"mean4=$mean4 < mean8=$mean8 (r4=$r4 r8=$r8)")
+  }
+
   test("fused expressions stay codegen'd (no fallback)") {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")
