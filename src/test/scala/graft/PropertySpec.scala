@@ -53,6 +53,43 @@ class PropertySpec extends SparkTestBase {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("selectAttrs round-trips generated attribute sets (batch of 200)") {
+    // generate (tag-ish) attribute maps, render them as markup with a
+    // random quoting style per attribute, and require the extractor to
+    // recover EXACTLY the map (names lowercased; first dup wins — the
+    // generator emits unique names so round-trip is exact)
+    import graft.text.TextSelect
+    val nameGen = Gen.listOfN(5, Gen.alphaLowerChar).map(_.mkString)
+      .suchThat(_.nonEmpty)
+    val valGen = Gen.listOfN(6,
+      Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('/', '.', '-', '_')))
+      .map(_.mkString)
+    val attrsGen: Gen[List[(String, String)]] = for {
+      n <- Gen.choose(0, 4)
+      names <- Gen.listOfN(n, nameGen).map(_.distinct)
+      vals <- Gen.listOfN(names.size, valGen)
+    } yield names.zip(vals)
+    val styleGen = Gen.oneOf(0, 1, 2) // "v" | 'v' | bare
+    val cases: Seq[(String, Map[String, String])] =
+      Gen.listOfN(200, attrsGen).sample.get.map { attrs =>
+        val rendered = attrs.map { case (k, v) =>
+          styleGen.sample.get match {
+            case 0 => s"""$k="$v""""
+            case 1 => s"$k='$v'"
+            case 2 => s"$k=$v"
+          }
+        }.mkString(" ")
+        (s"<p>noise</p><a $rendered>x</a>", attrs.toMap)
+      }
+    val got = cases.map(_._1).toDF("h")
+      .select(TextSelect.selectAttrs($"h", "a").as("a"))
+      .as[Seq[Map[String, String]]].collect().toSeq
+    got.zip(cases).foreach { case (g, (html, want)) =>
+      assert(g.size == 1, html)
+      assert(g.head == want, s"$html -> ${g.head}, want $want")
+    }
+  }
+
   test("token count: invariant under extra whitespace (batch of 200)") {
     val textGen = Gen.listOfN(6,
       Gen.oneOf("the", "fox", "a", "b1", "z")).map(_.mkString(" "))
