@@ -149,7 +149,11 @@ object Bench {
       if (crawlOnly) Seq.empty
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         name -> (try {
-          Right((1 to trials).map { _ =>
+          Right((1 to trials).map { t =>
+            // drop CacheManager entries a previous trial's query may have
+            // registered internally: trial 2 must re-measure the
+            // computation, not scan trial 1's cache
+            if (t > 1) spark.catalog.clearCache()
             val t0 = System.nanoTime()
             fn(spark, sfDir).count()
             (System.nanoTime() - t0) / 1e9

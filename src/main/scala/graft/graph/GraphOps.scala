@@ -77,8 +77,12 @@ object GraphOps {
     // re-runs the degree join from scratch — at 10^10 edges that is an
     // exchange+aggregate per iteration for free. Same for the node-id
     // projection re-joined every round. Both are unpersisted before
-    // return; the final ranks are materialized (one count) so the
-    // unpersist cannot un-cache work the caller still needs.
+    // return; the result is materialized via localCheckpoint — NOT
+    // persist — so (a) no CacheManager entry leaks per call (persist
+    // holds a strong plan reference for the session; ContextCleaner
+    // reclaims an unreferenced checkpoint RDD), and (b) a caller
+    // re-running the same logical plan is never silently served the
+    // previous call's cache (bench trials must measure the computation).
     val withDeg = edges.join(outDeg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodeIds = nodes.select(col("id").as("node"))
@@ -101,9 +105,7 @@ object GraphOps {
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations)
         ranks = checkpoint(ranks)
     }
-    val out = ranks
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize so the helper caches can be dropped now
+    val out = ranks.localCheckpoint() // eager: materialize + cut lineage
     withDeg.unpersist(blocking = false)
     nodeIds.unpersist(blocking = false)
     out

@@ -47,13 +47,17 @@ class PpmDecoder(featureDim: Int) extends MediaDecoder {
       val h = token().toInt
       val maxv = token().toInt
       pos += 1 // exactly one whitespace byte separates header and raster
-      val n = w * h * 3
-      require(w > 0 && h > 0 && maxv > 0 && pos + n <= payload.length,
-        "truncated raster")
+      // Long arithmetic: huge claimed dims must hit the truncated-raster
+      // guard, not wrap Int and "pass" it. maxv > 255 (2-byte samples)
+      // is out of scope -> malformed path, never a misread raster.
+      val n = w.toLong * h * 3L
+      require(w > 0 && h > 0 && maxv > 0 && maxv <= 255 &&
+        pos.toLong + n <= payload.length, "truncated raster")
+      val nInt = n.toInt // safe: n <= payload.length by the require
       val sums = new Array[Long](featureDim)
       val counts = new Array[Long](featureDim)
       var i = 0
-      while (i < n) {
+      while (i < nInt) {
         sums(i % featureDim) += (payload(pos + i) & 0xff).toLong
         counts(i % featureDim) += 1L
         i += 1

@@ -41,7 +41,6 @@ object Politeness {
     // frontier shuffle is shared, not added)
     val r = if (broadcastRobots) broadcast(r0) else r0
     val joined = frontier.join(r, Seq("host"), "left")
-    val path = regexp_extract(col("canonical"), "^[a-z]+:\\/\\/[^\\/]*([^?#]*)", 1)
     // LONGEST-match precedence (de-facto Google semantics): blocked iff
     // the longest matching Disallow prefix is strictly longer than the
     // longest matching Allow prefix (tie -> allow; no allows == classic
@@ -53,11 +52,22 @@ object Politeness {
         GraftExpr.expression(col("_path")), GraftExpr.expression(arr)))
     }
     joined
-      .withColumn("_path", when(path === "", lit("/")).otherwise(path))
+      .withColumn("_path", pathCol(col("canonical")))
       .filter(
         col("_disallow").isNull ||
           !(lpl(col("_disallow")) > lpl(col("_allow"))))
       .drop("_path", "_disallow", "_allow")
+  }
+
+  /** Path component of a canonical URL, empty path -> "/" — the ONE
+    * definition of "the path robots rules match against", shared by
+    * [[robotsFilter]] and the streaming scheduler (batch/stream parity:
+    * a change here changes both tiers together).
+    */
+  def pathCol(canonical: Column): Column = {
+    val raw =
+      regexp_extract(canonical, "^[a-z]+:\\/\\/[^\\/]*([^?#]*)", 1)
+    when(raw === "", lit("/")).otherwise(raw)
   }
 
   /** Parse raw robots.txt bodies into per-host rules — the ingestion
@@ -101,7 +111,8 @@ object Politeness {
       .drop("_prevKey")
     val starGroups = grouped
       .filter(col("key") === "user-agent" &&
-        lower(col("value")) === agent.toLowerCase)
+        lower(col("value")) ===
+          agent.toLowerCase(java.util.Locale.ROOT))
       .select(col("host").as("_h"), col("grp").as("_g")).distinct()
     val inStar = grouped.join(starGroups,
       col("host") === col("_h") && col("grp") === col("_g"), "left_semi")

@@ -103,6 +103,46 @@ object StreamOps {
   case class ScheduleDecision(host: String, url: String, canonical: String,
       action: String)
 
+  /** One frontier candidate as seen by the decision kernel: event time,
+    * raw url, canonical ("" = invalid), robots verdict (computed by the
+    * caller — prefix-list or longest-match), per-host crawl delay.
+    */
+  private case class Cand(t: Long, url: String, canonical: String,
+      blocked: Boolean, delayMs: Long)
+
+  /** THE per-host scheduling state machine — the single definition both
+    * [[scheduleStream]] and [[scheduleStreamWithRobots]] run, so the
+    * dedup / apply_defer / budget semantics cannot drift between the
+    * Map-rules and parsed-robots entry points. Candidates are processed
+    * in (ts, url) order; non-scheduled outcomes leave state untouched
+    * (they may retry later); scheduled URLs enter the seen set and arm
+    * notBefore = max(existing, now) + delay.
+    */
+  private def decideHost(host: String, cands: Seq[Cand],
+      state: GroupState[HostSchedState],
+      budget0: Int): Iterator[ScheduleDecision] = {
+    var st = state.getOption.getOrElse(HostSchedState(Set.empty, 0L))
+    var budget = budget0
+    val out = cands.sortBy(c => (c.t, c.url)).map { c =>
+      val action =
+        if (c.canonical.isEmpty) "invalid"
+        else if (st.seen.contains(urlHash64(c.canonical))) "duplicate"
+        else if (c.blocked) "robots"
+        else if (c.t < st.notBefore) "delayed"
+        else if (budget <= 0) "over_budget"
+        else {
+          budget -= 1
+          st = HostSchedState(st.seen + urlHash64(c.canonical),
+            if (c.delayMs > 0) math.max(st.notBefore, c.t) + c.delayMs
+            else st.notBefore)
+          "scheduled"
+        }
+      ScheduleDecision(host, c.url, c.canonical, action)
+    }
+    state.update(st)
+    out.iterator
+  }
+
   /** Per-host robots config for the stream: disallow prefixes, crawl
     * delay ms, per-micro-batch budget.
     */
@@ -136,39 +176,20 @@ object StreamOps {
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (host, rows, state: GroupState[HostSchedState]) =>
           val r = rules.getOrElse(host, HostRules(Seq.empty, 0L, defaultBudget))
-          var st = state.getOption.getOrElse(HostSchedState(Set.empty, 0L))
-          var budget = math.min(r.batchBudget, defaultBudget)
           def pathOf(c: String): String = {
             val auth = c.indexOf("://") + 3
             val slash = c.indexOf('/', auth)
             if (slash < 0) "/" else c.substring(slash)
           }
-          val out = rows.toSeq.map(_._2).sortBy(d => (d.ts.getTime, d.url))
-            .map { d =>
-              val canon = graft.canon.CanonCore.canonicalize(d.url)
-              val t = d.ts.getTime
-              val action =
-                if (canon == null) "invalid"
-                else if (st.seen.contains(urlHash64(canon))) "duplicate"
-                else if (r.disallow.exists(p =>
-                  p.nonEmpty && pathOf(canon).startsWith(p))) "robots"
-                else if (t < st.notBefore) "delayed"
-                else if (budget <= 0) "over_budget"
-                else {
-                  budget -= 1
-                  st = HostSchedState(st.seen + urlHash64(canon),
-                    if (r.crawlDelayMs > 0)
-                      math.max(st.notBefore, t) + r.crawlDelayMs
-                    else st.notBefore)
-                  "scheduled"
-                }
-              // duplicates are remembered too once scheduled; non-scheduled
-              // outcomes leave state untouched (they may retry later)
-              ScheduleDecision(host, d.url,
-                Option(canon).getOrElse(""), action)
-            }
-          state.update(st)
-          out.iterator
+          val cands = rows.toSeq.map(_._2).map { d =>
+            val canon = graft.canon.CanonCore.canonicalize(d.url)
+            Cand(d.ts.getTime, d.url, Option(canon).getOrElse(""),
+              blocked = canon != null && r.disallow.exists(p =>
+                p.nonEmpty && pathOf(canon).startsWith(p)),
+              delayMs = r.crawlDelayMs)
+          }
+          decideHost(host, cands, state,
+            math.min(r.batchBudget, defaultBudget))
       }
   }
 
@@ -209,13 +230,12 @@ object StreamOps {
     val r = broadcast(robots.select(col("host").as("_rh"),
       col("disallow").as("_dis"), col("allow").as("_alw"),
       col("crawlDelayMs").as("_delay")))
-    val rawPath =
-      regexp_extract(col("canonical"), "^[a-z]+:\\/\\/[^\\/]*([^?#]*)", 1)
     urls.toDF()
       .withColumn("canonical", Canon.canonicalize(col("url")))
       .withColumn("host", coalesce(Canon.host(col("canonical")), lit("")))
       .join(r, col("host") === col("_rh"), "left")
-      .withColumn("_path", when(rawPath === "", lit("/")).otherwise(rawPath))
+      .withColumn("_path",
+        graft.politeness.Politeness.pathCol(col("canonical")))
       .select(col("ts"), col("url"),
         coalesce(col("canonical"), lit("")).as("canonical"), col("host"),
         coalesce(col("_dis").isNotNull &&
@@ -227,28 +247,10 @@ object StreamOps {
       .flatMapGroupsWithState[HostSchedState, ScheduleDecision](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (host, rows, state: GroupState[HostSchedState]) =>
-          var st = state.getOption.getOrElse(HostSchedState(Set.empty, 0L))
-          var budget = defaultBudget
-          val out = rows.toSeq.sortBy(c => (c.ts.getTime, c.url)).map { c =>
-            val t = c.ts.getTime
-            val action =
-              if (c.canonical.isEmpty) "invalid"
-              else if (st.seen.contains(urlHash64(c.canonical))) "duplicate"
-              else if (c.blocked) "robots"
-              else if (t < st.notBefore) "delayed"
-              else if (budget <= 0) "over_budget"
-              else {
-                budget -= 1
-                st = HostSchedState(st.seen + urlHash64(c.canonical),
-                  if (c.crawlDelayMs > 0)
-                    math.max(st.notBefore, t) + c.crawlDelayMs
-                  else st.notBefore)
-                "scheduled"
-              }
-            ScheduleDecision(host, c.url, c.canonical, action)
-          }
-          state.update(st)
-          out.iterator
+          decideHost(host,
+            rows.toSeq.map(c => Cand(c.ts.getTime, c.url, c.canonical,
+              c.blocked, c.crawlDelayMs)),
+            state, defaultBudget)
       }
   }
 

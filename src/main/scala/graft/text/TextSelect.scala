@@ -45,7 +45,7 @@ object TextSelect {
     * `<a` from matching `<abbr`.
     */
   private def patternFor(tag: String): Pattern =
-    tagPatterns.computeIfAbsent(tag.toLowerCase, t =>
+    tagPatterns.computeIfAbsent(tag.toLowerCase(java.util.Locale.ROOT), t =>
       Pattern.compile("(?is)<" + Pattern.quote(t) + "(?=[\\s/>])([^>]*)>"))
 
   /** name="v" | name='v' | name=v | name (bare -> ""). */
@@ -64,7 +64,9 @@ object TextSelect {
       val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
       val seen = scala.collection.mutable.HashSet.empty[String]
       while (am.find()) {
-        val name = am.group(1).toLowerCase
+        // Locale.ROOT: default-locale lowercasing corrupts names with
+        // 'I' under Turkish-family locales (ID -> ıd)
+        val name = am.group(1).toLowerCase(java.util.Locale.ROOT)
         if (seen.add(name)) {
           val v =
             if (am.group(2) != null) am.group(2)

@@ -67,7 +67,13 @@ class MediaPpmSpec extends SparkTestBase {
     val df = Seq(
       (1L, "ppm", "P6\n3 2\n255\n".getBytes("US-ASCII")), // truncated raster
       (2L, "ppm", "GARBAGE".getBytes("US-ASCII")),
-      (3L, "ppm", Array.empty[Byte]))
+      (3L, "ppm", Array.empty[Byte]),
+      // w*h*3 overflows Int (2.7e9) — must hit the truncated-raster
+      // guard via Long arithmetic, not wrap negative and "pass"
+      (4L, "ppm", "P6\n30000 30000\n255\n".getBytes("US-ASCII")),
+      // 16-bit samples (maxval > 255) are out of scope -> malformed,
+      // never a half-read raster
+      (5L, "ppm", ("P6\n2 1\n65535\n" + "x" * 12).getBytes("US-ASCII")))
       .toDF("media_id", "format", "payload")
     val rows = Media.extractFeatures(df, new PpmDecoder(dim))
       .orderBy("media_id").collect()
