@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.canon.Canon
+import graft.canon.{Canon, UrlTraps}
 import graft.dedup.Seen
-import graft.engine.CrawlEngine
+import graft.engine.{CrawlEngine, Recrawl, Redirects}
 import graft.model.{CrawlConfig, RobotsRule, Seed}
 import graft.politeness.Politeness
 import graft.router.{FlowControl, Handler, Router}
@@ -136,6 +136,90 @@ object SparkEntry {
     graft.queries.PipelineQueries.oracleSql ++ crawlOracleSql
 
   private def crawlQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // recrawl scheduling (Recrawl): Cho/Garcia-Molina change-rate
+    // estimator over a derived visit history (url u revisited every 97
+    // doc_ids; content hash advances every 1+u%3 rounds), then the
+    // per-host revisit top-k. Oracle re-derives the windows in DuckDB.
+    "q_recrawl" -> ((s, dir) => {
+      val hist = documents(s, dir)
+        .selectExpr("doc_id % 97 AS u", "doc_id div 97 AS round")
+        .selectExpr(
+          "concat('http://h', CAST(u % 10 AS STRING), '.test/r/'," +
+            " CAST(u AS STRING)) AS url",
+          "concat('h', CAST(u % 10 AS STRING)) AS host",
+          "round",
+          "CAST(u * 31 + (round div (1 + u % 3)) AS STRING)" +
+            " AS content_hash")
+      Recrawl.scheduleRevisits(Recrawl.changeStats(hist, 10L), 5)
+        .select(col("host"), col("revisit_rank"), col("url"),
+          col("visits"), col("changes"), col("staleness"),
+          col("priority_milli"))
+        .orderBy("host", "revisit_rank")
+    }),
+
+    // redirect-chain resolution (Redirects): blocks of 8 chain down to
+    // the block head (terminal), every 5th block's head points back to
+    // its tail (an 8-cycle); maxHops=4. Pointer doubling must match the
+    // oracle's naive recursive walk exactly.
+    "q_redirects" -> ((s, dir) => {
+      val i = col("doc_id")
+      def urlOf(c: Column) =
+        concat(lit("http://r.test/u/"), c.cast("string"))
+      val edges = documents(s, dir)
+        .filter(i % 8 =!= 0 || expr("doc_id div 8") % 5 === 0)
+        .select(urlOf(i).as("src"),
+          urlOf(when(i % 8 =!= 0, i - 1).otherwise(i + 7)).as("dst"))
+      Redirects.resolve(edges, maxHops = 4).orderBy("url")
+    }),
+
+    // crawler-trap screening (UrlTraps): generated URLs with known
+    // depth (cumulative distinct segments), a /x/x/x run every 6th doc
+    // and 0..9 query params; features + verdict have a closed form.
+    "q_url_traps" -> ((s, dir) => {
+      val i = col("doc_id")
+      val pathParts =
+        (0 until 15).map(d => (1 to d).map("/s" + _).mkString)
+      val queryParts = (0 until 10).map(p =>
+        if (p == 0) "" else "?" + (1 to p).map(j => s"k$j=1").mkString("&"))
+      val url = concat(
+        lit("http://t"), (i % 5).cast("string"), lit(".test"),
+        when(i % 6 === 0, lit("/x/x/x")).otherwise(lit("")),
+        element_at(array(pathParts.map(lit): _*), (i % 15).cast("int") + 1),
+        element_at(array(queryParts.map(lit): _*), (i % 10).cast("int") + 1))
+      documents(s, dir).select(i.as("doc_id"),
+        UrlTraps.pathDepth(url).as("depth"),
+        UrlTraps.maxSegmentRun(url).as("max_run"),
+        UrlTraps.queryParamCount(url).as("params"),
+        UrlTraps.isTrap(url).as("is_trap"))
+        .orderBy("doc_id")
+    }),
+
+    // anchor-text link extraction (TextSelect.selectAnchors): hrefs WITH
+    // their visible text (inner tags stripped, entities decoded once,
+    // whitespace collapsed), composed with canonicalization — the
+    // labeled-edge form of the link graph. href-less anchors skipped.
+    "q_anchor_text" -> ((s, dir) => {
+      import graft.text.TextSelect
+      val i = col("doc_id")
+      val html = concat(
+        lit("<p>x</p><a href=\"HTTP://Host"), (i % 10).cast("string"),
+        lit(".Test:80/p/"), (i % 50).cast("string"),
+        lit("?b=2&a=1\">Go <b>now</b> &amp; fast</a><a name=skip>no</a>"),
+        when(i % 3 === 0,
+          concat(lit("<a href='/rel/"), i.cast("string"),
+            lit("'>rel <i>"), i.cast("string"), lit("</i></a>")))
+          .otherwise(lit("")))
+      documents(s, dir).withColumn("_html", html)
+        .select(i.as("doc_id"),
+          posexplode(TextSelect.selectAnchors(col("_html"))))
+        .withColumnsRenamed(Map("pos" -> "ord"))
+        .select(col("doc_id"), col("ord"),
+          col("col.href").as("href"),
+          Canon.canonicalize(col("col.href")).as("canonical"),
+          col("col.text").as("text"))
+        .orderBy("doc_id", "ord")
+    }),
 
     // canonicalization (north-rule op, Canon): messy -> canonical
     "q_canon" -> ((s, dir) => {
@@ -631,6 +715,103 @@ object SparkEntry {
   // ---------- DuckDB oracles ----------
 
   private def crawlOracleSql: Map[String, String] = Map(
+    "q_recrawl" ->
+      """WITH hist AS (
+           SELECT doc_id % 97 AS u, doc_id // 97 AS round FROM documents),
+         h2 AS (
+           SELECT concat('http://h', CAST(u % 10 AS VARCHAR), '.test/r/',
+                    CAST(u AS VARCHAR)) AS url,
+                  concat('h', CAST(u % 10 AS VARCHAR)) AS host,
+                  round,
+                  CAST(u * 31 + (round // (1 + u % 3)) AS VARCHAR)
+                    AS content_hash
+           FROM hist),
+         lagged AS (
+           SELECT *, lag(content_hash)
+                       OVER (PARTITION BY url ORDER BY round) AS ph
+           FROM h2),
+         stats AS (
+           SELECT url, min(host) AS host,
+                  CAST(count(*) AS BIGINT) AS visits,
+                  CAST(sum(CASE WHEN ph IS NOT NULL AND ph <> content_hash
+                                THEN 1 ELSE 0 END) AS BIGINT) AS changes,
+                  max(round) AS last_round
+           FROM lagged GROUP BY url),
+         scored AS (
+           SELECT *, 10 - last_round AS staleness,
+                  (changes * (10 - last_round) * 1000)
+                    // greatest(visits - 1, 1) AS priority_milli
+           FROM stats),
+         ranked AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY host
+                       ORDER BY priority_milli DESC, staleness DESC, url)
+                     AS INT) AS revisit_rank
+           FROM scored)
+         SELECT host, revisit_rank, url, visits, changes, staleness,
+                priority_milli
+         FROM ranked WHERE revisit_rank <= 5
+         ORDER BY host, revisit_rank""",
+
+    "q_redirects" ->
+      """WITH RECURSIVE e AS (
+           SELECT concat('http://r.test/u/', CAST(doc_id AS VARCHAR)) AS src,
+                  concat('http://r.test/u/',
+                    CAST(CASE WHEN doc_id % 8 <> 0 THEN doc_id - 1
+                              ELSE doc_id + 7 END AS VARCHAR)) AS dst
+           FROM documents
+           WHERE doc_id % 8 <> 0 OR (doc_id // 8) % 5 = 0),
+         walk(src, cur, hops) AS (
+           SELECT src, dst, 1 FROM e
+           UNION ALL
+           SELECT w.src, e2.dst, w.hops + 1
+           FROM walk w JOIN e e2 ON e2.src = w.cur
+           WHERE w.hops < 4),
+         res AS (
+           SELECT w.src, w.cur, w.hops
+           FROM walk w
+           WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = w.cur)
+             AND w.hops <= 4)
+         SELECT e.src AS url, r.cur AS final_url,
+                CAST(r.hops AS BIGINT) AS hops,
+                (r.src IS NULL) AS looped
+         FROM e LEFT JOIN res r ON r.src = e.src
+         ORDER BY url""",
+
+    "q_url_traps" ->
+      """SELECT doc_id,
+           CAST(doc_id % 15 + CASE WHEN doc_id % 6 = 0 THEN 3 ELSE 0 END
+                AS INT) AS depth,
+           CAST(CASE WHEN doc_id % 6 = 0 THEN 3
+                     WHEN doc_id % 15 > 0 THEN 1
+                     ELSE 0 END AS INT) AS max_run,
+           CAST(doc_id % 10 AS INT) AS params,
+           (doc_id % 6 = 0
+            OR (doc_id % 15
+                + CASE WHEN doc_id % 6 = 0 THEN 3 ELSE 0 END) >= 12
+            OR doc_id % 10 >= 8) AS is_trap
+         FROM documents ORDER BY doc_id""",
+
+    "q_anchor_text" ->
+      """WITH a0 AS (
+           SELECT doc_id, 0 AS ord,
+             concat('HTTP://Host', CAST(doc_id % 10 AS VARCHAR),
+               '.Test:80/p/', CAST(doc_id % 50 AS VARCHAR),
+               '?b=2&a=1') AS href,
+             concat('http://host', CAST(doc_id % 10 AS VARCHAR),
+               '.test/p/', CAST(doc_id % 50 AS VARCHAR),
+               '?a=1&b=2') AS canonical,
+             'Go now & fast' AS text
+           FROM documents),
+         a1 AS (
+           SELECT doc_id, 1 AS ord,
+             concat('/rel/', CAST(doc_id AS VARCHAR)) AS href,
+             CAST(NULL AS VARCHAR) AS canonical,
+             concat('rel ', CAST(doc_id AS VARCHAR)) AS text
+           FROM documents WHERE doc_id % 3 = 0)
+         SELECT doc_id, CAST(ord AS INT) AS ord, href, canonical, text
+         FROM (SELECT * FROM a0 UNION ALL SELECT * FROM a1)
+         ORDER BY doc_id, ord""",
+
     "q_canon" ->
       s"""SELECT doc_id, $canonicalSql AS canonical
          FROM documents ORDER BY doc_id""",

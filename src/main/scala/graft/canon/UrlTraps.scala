@@ -1,0 +1,68 @@
+package graft.canon
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Crawler-trap heuristics — the frontier-side defence a crawler needs
+  * the moment it leaves a test corpus: calendar pages, session-id
+  * mirrors and mis-rooted relative links generate unbounded URL spaces
+  * that canonicalization alone cannot collapse (the URLs are all
+  * DISTINCT), so the scheduler screens candidates structurally before
+  * they reach the seen-filter. (Reference analogue: none — spire
+  * schedules whatever handlers emit; this is standard crawler hygiene,
+  * cf. Heydon & Najork, "Mercator: A scalable, extensible Web crawler",
+  * WWW 1999 §3.2's URL filters.)
+  *
+  * All detectors are pure Column expressions over the canonical URL —
+  * split / filter / aggregate over the path segments, zero UDFs, zero
+  * shuffles: a trap screen is a projection and must stay one at 10^10
+  * candidates/round.
+  */
+object UrlTraps {
+
+  /** `/a/b/c` of the canonical URL, "" when pathless. */
+  private def rawPath(url: Column): Column =
+    regexp_extract(url, "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+
+  /** Path segments, empties dropped (`/a//b/` -> [a, b]). */
+  def pathSegments(url: Column): Column =
+    filter(split(rawPath(url), "/"), s => s =!= "")
+
+  /** Number of path segments. */
+  def pathDepth(url: Column): Column = size(pathSegments(url))
+
+  /** Length of the longest run of CONSECUTIVE identical path segments
+    * (1 for any non-empty path, 0 for pathless) — `/x/x/x/` mirrors
+    * score 3 while a legitimate `/java/java.util/` scores 2 at most
+    * once. One fold over the segment array: state (prev, run, best).
+    */
+  def maxSegmentRun(url: Column): Column = {
+    val segs = pathSegments(url)
+    aggregate(
+      segs,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (st, s) => {
+        val run = when(s === st.getField("prev"),
+          st.getField("run") + 1).otherwise(lit(1))
+        struct(s.as("prev"), run.as("run"),
+          greatest(run, st.getField("best")).as("best"))
+      },
+      st => st.getField("best"))
+  }
+
+  /** Number of query parameters (`?a=1&b=2` -> 2; no query -> 0). */
+  def queryParamCount(url: Column): Column =
+    size(filter(split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
+      p => p =!= ""))
+
+  /** Mercator-style structural trap verdict. Defaults: a segment
+    * repeated 3+ times in a row, 12+ path segments, or 8+ query
+    * parameters — each a shape real content almost never has and
+    * generated URL spaces almost always develop.
+    */
+  def isTrap(url: Column, maxRun: Int = 3, maxDepth: Int = 12,
+             maxParams: Int = 8): Column =
+    (maxSegmentRun(url) >= maxRun) ||
+      (pathDepth(url) >= maxDepth) ||
+      (queryParamCount(url) >= maxParams)
+}

@@ -2,11 +2,12 @@ package graft.text
 
 import java.util.regex.Pattern
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{element_at, filter, transform}
-import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Declarative element/attribute extraction — the reference's ONE
@@ -121,4 +122,73 @@ object TextSelect {
     filter(
       transform(selectAttrs(html, tag), m => element_at(m, attr)),
       v => v.isNotNull)
+
+  // ---------------- anchors: href + visible inner text ----------------
+
+  /** `<a ...>INNER</a>` with the attribute region and the inner markup
+    * both captured; non-greedy inner, so nested/unclosed anchors degrade
+    * to the shortest well-formed reading (anchors do not legally nest).
+    */
+  private val anchorP =
+    Pattern.compile("(?is)<a(?=[\\s/>])([^>]*)>(.*?)</a\\s*>")
+
+  /** JVM core: every `<a href=...>text</a>` of `html` in document order
+    * as (href, text) rows; anchors without an href attribute are skipped
+    * (same contract as [[selectAttr]] — this is the link-harvest shape).
+    * The inner markup goes through [[TextExtract.htmlToText]], so anchor
+    * text has tags stripped, entities decoded once and whitespace
+    * collapsed exactly like page text does.
+    */
+  def extractAnchors(html: UTF8String): ArrayData = {
+    val m = anchorP.matcher(html.toString)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
+    while (m.find()) {
+      var href: String = null
+      val am = attrP.matcher(m.group(1))
+      while (href == null && am.find()) {
+        if ("href".equalsIgnoreCase(am.group(1))) {
+          href =
+            if (am.group(2) != null) am.group(2)
+            else if (am.group(3) != null) am.group(3)
+            else if (am.group(4) != null) am.group(4)
+            else ""
+        }
+      }
+      if (href != null) {
+        rows += new GenericInternalRow(Array[Any](
+          UTF8String.fromString(href),
+          TextExtract.htmlToText(UTF8String.fromString(m.group(2)))))
+      }
+    }
+    new GenericArrayData(rows.toArray)
+  }
+
+  /** Fused expression: html -> array<struct<href,text>>. */
+  case class SelectAnchors(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(StructField("href", StringType, nullable = false),
+        StructField("text", StringType, nullable = false))),
+      containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "select_anchors"
+
+    override protected def nullSafeEval(html: Any): Any =
+      extractAnchors(html.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.text.TextSelect.extractAnchors($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): SelectAnchors =
+      copy(child = newChild)
+  }
+
+  /** All hyperlinks of a page as (href, text) structs, document order —
+    * the edge-with-label form the link graph wants: href feeds
+    * [[graft.canon.Canon.canonicalize]], text is the anchor-text
+    * relevance signal. One fused scan per row, no UDF, no shuffle.
+    */
+  def selectAnchors(html: Column): Column = {
+    import org.apache.spark.sql.GraftExpr
+    GraftExpr.column(SelectAnchors(GraftExpr.expression(html)))
+  }
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import graft.engine.Recrawl
+
+/** Recrawl scheduling: the Cho/Garcia-Molina change-rate estimator and
+  * the per-host revisit top-k, exact-integer priority arithmetic.
+  */
+class RecrawlSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // (url, host, round, content_hash)
+  private val history = Seq(
+    ("a", "h1", 1L, "x"), ("a", "h1", 2L, "y"), ("a", "h1", 3L, "z"),
+    ("b", "h1", 1L, "x"), ("b", "h1", 2L, "x"), ("b", "h1", 3L, "x"),
+    ("c", "h1", 1L, "x"), ("c", "h1", 3L, "y"),
+    ("d", "h2", 4L, "w")
+  ).toDF("url", "host", "round", "content_hash")
+
+  test("changeStats: visits, changes vs previous hash, exact priority") {
+    val got = Recrawl.changeStats(history, currentRound = 5L)
+      .select("url", "visits", "changes", "last_round", "staleness",
+        "priority_milli")
+      .as[(String, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      // a: 3 visits, 2 changes, staleness 2 -> (2*2*1000) div 2 = 2000
+      ("a", 3L, 2L, 3L, 2L, 2000L),
+      // b: never changed -> 0
+      ("b", 3L, 0L, 3L, 2L, 0L),
+      // c: 2 visits 1 change, staleness 2 -> (1*2*1000) div 1 = 2000
+      ("c", 2L, 1L, 3L, 2L, 2000L),
+      // d: single visit -> no revisit evidence, priority 0 (div by
+      // greatest(visits-1,1) guards the 0 denominator)
+      ("d", 1L, 0L, 4L, 1L, 0L)))
+  }
+
+  test("scheduleRevisits: per-host top-k by (priority, staleness, url)") {
+    val stats = Recrawl.changeStats(history, currentRound = 5L)
+    val got = Recrawl.scheduleRevisits(stats, perHostBudget = 2)
+      .select("host", "revisit_rank", "url")
+      .as[(String, Int, String)].collect().sortBy(r => (r._1, r._2))
+    // h1: a and c tie at 2000 and tie on staleness -> url asc breaks it;
+    // b (priority 0) falls outside the budget of 2.
+    assert(got.toSeq == Seq(
+      ("h1", 1, "a"), ("h1", 2, "c"), ("h2", 1, "d")))
+  }
+
+  test("changeStats plans ONE exchange: lag window and per-url aggregate share the url partitioning") {
+    val plan = Recrawl.changeStats(history, 5L).queryExecution.executedPlan
+    val inner = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = inner.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size == 1,
+      s"expected 1 shuffle (shared url partitioning), got ${exchanges.size}")
+  }
+
+  test("single-visit-only history schedules at priority 0, deterministically") {
+    val h = Seq(("u1", "h", 1L, "x"), ("u2", "h", 2L, "y"))
+      .toDF("url", "host", "round", "content_hash")
+    val got = Recrawl.scheduleRevisits(Recrawl.changeStats(h, 3L), 5)
+      .select("revisit_rank", "url").as[(Int, String)].collect().sortBy(_._1)
+    // priority 0 for both; staleness desc puts u1 (staleness 2) first
+    assert(got.toSeq == Seq((1, "u1"), (2, "u2")))
+  }
+}

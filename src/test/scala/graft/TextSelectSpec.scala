@@ -80,4 +80,32 @@ class TextSelectSpec extends SparkTestBase {
       }
     }
   }
+
+  // ---------------- selectAnchors: href + inner text ----------------
+
+  private def anchors(html: String): Seq[(String, String)] =
+    Seq(html).toDF("h")
+      .select(TextSelect.selectAnchors(col("h")).as("a"))
+      .as[Seq[(String, String)]].head()
+
+  test("anchors: href + visible text, inner tags stripped, entities decoded") {
+    val html =
+      """<a href="/one">first <b>bold</b> link</a>
+        |<a href='/two' class=x>a &amp; b</a>
+        |<a name="no-href">skipped</a>
+        |<A HREF=/three>  spaced   out </A>""".stripMargin
+    assert(anchors(html) == Seq(
+      "/one" -> "first bold link",
+      "/two" -> "a & b",
+      "/three" -> "spaced out"))
+  }
+
+  test("anchors: empty text, bare href, unclosed anchor degrades shortest-match") {
+    // the unclosed first <a> consumes up to the FIRST </a>; the inner
+    // <a href=/y> opening tag inside that span is stripped as markup
+    val html = """<a href=/x>outer <a href=/y>inner</a> tail</a>"""
+    assert(anchors(html) == Seq("/x" -> "outer inner"))
+    assert(anchors("""<a href="/e"></a>""") == Seq("/e" -> ""))
+    assert(anchors("no anchors here") == Seq.empty)
+  }
 }
