@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.canon.Canon
+import graft.canon.{Canon, UrlTraps}
 import graft.dedup.Seen
 import graft.model._
 import graft.politeness.Politeness
@@ -424,12 +424,22 @@ object CrawlEngine {
                   col("tag").isin(blockedTags: _*)))
         } else (frontier, frontier.limit(0))
 
+      // 1.5 structural trap screen (opt-in, NOT a reference behavior —
+      //     golden traces run with it off): machine-generated URL shapes
+      //     ([[graft.canon.UrlTraps]]) are dropped BEFORE they cost bloom
+      //     probes, seen anti-join work or a politeness slot. Dropped,
+      //     never deferred — a trap URL cannot become fetchable later.
+      val eligible0s =
+        if (!cfg.trapScreen) eligible0
+        else eligible0.filter(!UrlTraps.isTrap(col("canonical"),
+          cfg.trapMaxRun, cfg.trapMaxDepth, cfg.trapMaxParams))
+
       // 2. dedup: bloom prefilter (fast negatives, per-shard broadcast)
       //    -> exact anti-join (only bloom-positive candidates pay it)
       //    -> in-batch first-occurrence. Exactness is guaranteed by the
       //    anti-join regardless of bloom fpp.
       val eligible1 =
-        if (!cfg.dedup) eligible0
+        if (!cfg.dedup) eligible0s
         else {
           // exact tier: the bucketed mirror when active (seen side never
           // shuffled), the plain anti-join (broadcastable seen) below it
@@ -440,10 +450,10 @@ object CrawlEngine {
           val notSeen =
             if (cfg.useBloomPrefilter && bloomLedger.nonEmpty) {
               val (defNew, maybe) =
-                Seen.bloomPrefilterMulti(eligible0, bloomLedger, cfg.bloomShards)
+                Seen.bloomPrefilterMulti(eligible0s, bloomLedger, cfg.bloomShards)
               defNew.unionByName(exact(maybe))
-            } else if (nextSeq == 0) eligible0 // seen is empty on round 0
-            else exact(eligible0)
+            } else if (nextSeq == 0) eligible0s // seen is empty on round 0
+            else exact(eligible0s)
           Seen.firstOccurrence(notSeen,
             struct(col("parentSeq"), col("emissionIdx")))
         }

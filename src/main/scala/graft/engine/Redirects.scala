@@ -38,9 +38,22 @@ object Redirects {
     * @param maxHops client redirect cap (chains longer than this are
     *                reported `looped` — indistinguishable from a cycle
     *                to a capped client, and treated the same).
+    * @param checkpoint optional per-round materialization (default:
+    *                none). The self-join consumes round k-1 through two
+    *                differently-keyed Exchanges, but ReuseExchange
+    *                dedups everything BELOW them (round k-1's own input
+    *                shuffles canonicalize equal under both consumers),
+    *                so the only duplicated work per round is one SMJ
+    *                merge+project pass — measured CHEAPER than eagerly
+    *                materializing 10M rows per round (probe: 74.9 s
+    *                plain vs 107.8 s with localCheckpoint). rounds is
+    *                log2(maxHops) <= 6 for any sane cap, so lineage
+    *                depth is bounded without cuts; pass
+    *                `_.localCheckpoint()` if driving this past ~8 rounds.
     * @return one row per src: (url, final_url, hops, looped)
     */
-  def resolve(edges: DataFrame, maxHops: Int): DataFrame = {
+  def resolve(edges: DataFrame, maxHops: Int,
+      checkpoint: DataFrame => DataFrame = identity): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val rounds = 32 - Integer.numberOfLeadingZeros(
       math.max(1, maxHops - 1)) // ceil(log2(maxHops))
@@ -50,9 +63,10 @@ object Redirects {
     var m = edges.select(col("src").as("u"), col("dst").as("cur"),
       lit(1L).as("hops"))
     for (_ <- 0 until rounds) {
-      val b = m.select(col("u").as("_bu"), col("cur").as("_bcur"),
+      val mk = checkpoint(m)
+      val b = mk.select(col("u").as("_bu"), col("cur").as("_bcur"),
         col("hops").as("_bhops"))
-      m = m.join(b, m("cur") === b("_bu"), "left")
+      m = mk.join(b, mk("cur") === b("_bu"), "left")
         .select(col("u"),
           coalesce(col("_bcur"), col("cur")).as("cur"),
           (col("hops") + coalesce(col("_bhops"), lit(0L))).as("hops"))

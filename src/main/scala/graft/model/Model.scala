@@ -169,6 +169,16 @@ case class CrawlConfig(
       * filter; supports delete, ~fewer bits/key at equal fpp). Exactness
       * never depends on the choice (the anti-join is the exact tier). */
     seenFilterKind: String = "bloom",
+    /** Structural crawler-trap screen ([[graft.canon.UrlTraps]]): when
+      * on, candidates whose canonical URL has a >=trapMaxRun consecutive
+      * repeated path segment, >=trapMaxDepth path depth or >=trapMaxParams
+      * query params are dropped before dedup/politeness. OFF by default —
+      * the reference schedules whatever handlers emit, and golden traces
+      * are defined with the screen off. */
+    trapScreen: Boolean = false,
+    trapMaxRun: Int = 3,
+    trapMaxDepth: Int = 12,
+    trapMaxParams: Int = 8,
     /** Above this many delay-bearing hosts, the per-host crawl-delay
       * ledger LEAVES THE DRIVER: the delay table stays a DataFrame (no
       * robots.collect), the (host, notBefore) ledger is a checkpointed

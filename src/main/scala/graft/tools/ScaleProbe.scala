@@ -180,6 +180,61 @@ object ScaleProbe {
       return
     }
 
+    // redirects mode: pointer-doubling chain resolution vs naive per-hop
+    // iteration on the same functional graph (chains up to 63 hops inside
+    // 64-blocks, every 5th block an actual cycle), maxHops=32 — the
+    // standard client cap. Doubling runs ceil(log2(32))=5 self-joins;
+    // naive runs 31 — and its 31-join lineage also pays quadratic
+    // optimizer time. Both must agree on (resolved, looped, sum(hops)).
+    if (sys.env.get("SPARK_GRAFT_PROBE_MODE").contains("redirects")) {
+      import org.apache.spark.sql.DataFrame
+      val block = 64L
+      val maxHops = 32
+      val edges = spark.range(n)
+        .filter(col("id") % block =!= 0 ||
+          expr(s"id div $block") % 5 === 0)
+        .select(col("id").as("src"),
+          when(col("id") % block =!= 0, col("id") - 1)
+            .otherwise(col("id") + block - 1).as("dst"))
+
+      def summarize(out: DataFrame): (Long, Long, Long) = {
+        val r = out.agg(
+          sum(when(!col("looped"), 1L).otherwise(0L)),
+          sum(when(col("looped"), 1L).otherwise(0L)),
+          sum(coalesce(col("hops"), lit(0L)))).collect()(0)
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+
+      val t0d = System.nanoTime()
+      val dbl = summarize(graft.engine.Redirects.resolve(edges, maxHops))
+      val secDbl = (System.nanoTime() - t0d) / 1e9
+
+      val t0n = System.nanoTime()
+      var m = edges.select(col("src").as("u"), col("dst").as("cur"),
+        lit(1L).as("hops"))
+      val e = edges.select(col("src").as("_es"), col("dst").as("_ed"))
+      for (_ <- 1 until maxHops) {
+        m = m.join(e, m("cur") === e("_es"), "left")
+          .select(col("u"),
+            coalesce(col("_ed"), col("cur")).as("cur"),
+            (col("hops") +
+              when(col("_ed").isNotNull, 1L).otherwise(0L)).as("hops"))
+      }
+      val srcs = edges.select(col("src").as("_t")).distinct()
+      val naive = m.join(srcs, m("cur") === srcs("_t"), "left")
+        .withColumn("_resolved",
+          col("_t").isNull && col("hops") <= maxHops)
+        .select(when(col("_resolved"), col("hops")).as("hops"),
+          (!col("_resolved")).as("looped"))
+      val nv = summarize(naive)
+      val secNaive = (System.nanoTime() - t0n) / 1e9
+
+      require(dbl == nv, s"doubling $dbl != naive $nv")
+      println(f"""{"probe":"redirects","edges":$n,"max_hops":$maxHops,"resolved":${dbl._1},"looped":${dbl._2},"hops_sum":${dbl._3},"doubling_sec":$secDbl%.1f,"naive_sec":$secNaive%.1f,"speedup":${secNaive / secDbl}%.2f,"cpus":$cpus}""")
+      spark.stop()
+      return
+    }
+
     val t0 = System.nanoTime()
     val id = col("id")
     val messy = concat(

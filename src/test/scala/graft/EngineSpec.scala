@@ -58,6 +58,30 @@ class EngineSpec extends SparkTestBase {
     assert(got.map(_.url).toSet == want.map(_.url).toSet)
   }
 
+  test("trap screen (opt-in) drops machine-generated URLs; rest of the trace exact") {
+    import graft.model.Seed
+    val cfg = CrawlConfig(maxRounds = 3, maxDepth = 3,
+      frontierPartitions = 4, bloomShards = 4, bloomExpectedItems = 10000L)
+    // trap seeds: a /x/x/x run and a 12-deep path — both screened; the
+    // real seeds keep their registration indices so the control trace
+    // (trap seeds never supplied, screen off) must match EXACTLY.
+    val trapSeeds = Seq(
+      Seed("http://h0.test/x/x/x/cal", "page", seeds.size),
+      Seed("http://h1.test" + (1 to 12).map("/s" + _).mkString, "page",
+        seeds.size + 1))
+    val dirA = SparkTestBase.tmpDir("engine")
+    val a = CrawlEngine.run(spark, docsDf, seeds ++ trapSeeds, noRobots,
+      router, cfg.copy(trapScreen = true), dirA)
+    val dirB = SparkTestBase.tmpDir("engine")
+    val b = CrawlEngine.run(spark, docsDf, seeds, noRobots, router, cfg, dirB)
+    def rows(r: CrawlEngine.RunResult) = r.trace(spark)
+      .select("seq", "url", "tag", "depth", "parentSeq")
+      .as[(Long, String, String, Int, Long)].collect().sortBy(_._1).toSeq
+    val ra = rows(a)
+    assert(ra == rows(b))
+    assert(!ra.exists(_._2.contains("/x/x/")))
+  }
+
   test("reference-exact FIFO: no dedup, unlimited budget == sequential oracle") {
     val cfg = CrawlConfig(maxRounds = 3, maxDepth = 3, dedup = false,
       useBloomPrefilter = false, frontierPartitions = 4)
