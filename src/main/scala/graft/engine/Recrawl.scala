@@ -69,6 +69,26 @@ object Recrawl {
           " div greatest(visits - 1, 1)"))
   }
 
+  /** Glue from the engine's own outputs: build a visit history from the
+    * `records` tables of SUCCESSIVE crawls of the same URL space (one
+    * crawl fetches each URL at most once — dedup — so revisit evidence
+    * only exists ACROSS runs). Each run supplies its records table plus
+    * the monotone clock value for that run (crawl epoch). Content
+    * identity is xxhash64 over the stable content columns the engine
+    * records (title, contentLength, nLinks, nMedia) — a change in any
+    * of them is a change observation.
+    */
+  def historyFromRecords(runs: Seq[(DataFrame, Long)]): DataFrame = {
+    require(runs.nonEmpty, "need at least one records table")
+    runs.map { case (r, clock) =>
+      r.select(col("url"),
+        graft.canon.Canon.host(col("url")).as("host"),
+        lit(clock).as("round"),
+        xxhash64(col("title"), col("contentLength"), col("nLinks"),
+          col("nMedia")).cast("string").as("content_hash"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** The deterministic revisit order within a host: most-expected-missed-
     * changes first, then most-stale, then url for totality.
     */

@@ -59,6 +59,34 @@ class RecrawlSpec extends SparkTestBase {
       s"expected 1 shuffle (shared url partitioning), got ${exchanges.size}")
   }
 
+  test("historyFromRecords: two identical crawls -> zero changes, visits=2") {
+    import graft.corpus.Corpus
+    import graft.engine.CrawlEngine
+    import graft.model.CrawlConfig
+    import graft.router.{Handler, Router}
+    val spec = Corpus.Spec(nDocs = 60, nHosts = 5, maxLinks = 3)
+    val docs = Corpus.docs(spark, spec)
+    val seeds = Corpus.seedsLocal(3, spec)
+    val router = Router(Map.empty, fallback = Handler.linkFollower())
+    val cfg = CrawlConfig(maxRounds = 3, maxDepth = 3,
+      frontierPartitions = 4, bloomShards = 2, bloomExpectedItems = 1000L)
+    def crawl() = CrawlEngine.run(spark, docs, seeds,
+      spark.emptyDataset[graft.model.RobotsRule], router, cfg,
+      SparkTestBase.tmpDir("recrawl"))
+    val r1 = crawl()
+    val r2 = crawl()
+    val hist = Recrawl.historyFromRecords(
+      Seq((r1.records(spark), 1L), (r2.records(spark), 2L)))
+    val stats = Recrawl.changeStats(hist, currentRound = 3L)
+    val rows = stats.select("visits", "changes", "priority_milli")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // deterministic corpus + deterministic engine: every URL fetched in
+    // run 1 is fetched identically in run 2 -> 2 visits, 0 changes
+    assert(rows.forall(_ == ((2L, 0L, 0L))),
+      rows.filterNot(_ == ((2L, 0L, 0L))).take(3).toSeq.toString)
+  }
+
   test("single-visit-only history schedules at priority 0, deterministically") {
     val h = Seq(("u1", "h", 1L, "x"), ("u2", "h", 2L, "y"))
       .toDF("url", "host", "round", "content_hash")
