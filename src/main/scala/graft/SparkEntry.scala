@@ -151,7 +151,11 @@ object SparkEntry {
           "round",
           "CAST(u * 31 + (round div (1 + u % 3)) AS STRING)" +
             " AS content_hash")
-      Recrawl.scheduleRevisits(Recrawl.changeStats(hist, 10L), 5)
+      // currentRound must exceed every history round at ANY sf (the
+      // contract: "the round about to be scheduled"); derived, so the
+      // sf0.1 bench (rounds up to 51) stays in-contract too
+      val cur = hist.agg(max(col("round"))).head().getLong(0) + 1L
+      Recrawl.scheduleRevisits(Recrawl.changeStats(hist, cur), 5)
         .select(col("host"), col("revisit_rank"), col("url"),
           col("visits"), col("changes"), col("staleness"),
           col("priority_milli"))
@@ -737,11 +741,12 @@ object SparkEntry {
                                 THEN 1 ELSE 0 END) AS BIGINT) AS changes,
                   max(round) AS last_round
            FROM lagged GROUP BY url),
+         cur AS (SELECT max(doc_id // 97) + 1 AS c FROM documents),
          scored AS (
-           SELECT *, 10 - last_round AS staleness,
-                  (changes * (10 - last_round) * 1000)
+           SELECT s.*, (SELECT c FROM cur) - last_round AS staleness,
+                  (changes * ((SELECT c FROM cur) - last_round) * 1000)
                     // greatest(visits - 1, 1) AS priority_milli
-           FROM stats),
+           FROM stats s),
          ranked AS (
            SELECT *, CAST(row_number() OVER (PARTITION BY host
                        ORDER BY priority_milli DESC, staleness DESC, url)

@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object UrlTraps {
 
-  /** `/a/b/c` of the canonical URL, "" when pathless. */
+  /** `/a/b/c` of the canonical URL, "" when pathless. Scheme matching is
+    * case-insensitive: the screen may run on raw candidate URLs too, and
+    * an uppercase scheme must not let a trap evade the detectors.
+    */
   private def rawPath(url: Column): Column =
-    regexp_extract(url, "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
 
   /** Path segments, empties dropped (`/a//b/` -> [a, b]). */
   def pathSegments(url: Column): Column =
@@ -50,9 +53,12 @@ object UrlTraps {
       st => st.getField("best"))
   }
 
-  /** Number of query parameters (`?a=1&b=2` -> 2; no query -> 0). */
+  /** Number of query parameters (`?a=1&b=2` -> 2; no query -> 0). The
+    * `?` must appear BEFORE any `#`: `page#frag?a&b` has a fragment that
+    * merely contains a question mark, not a query.
+    */
   def queryParamCount(url: Column): Column =
-    size(filter(split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
+    size(filter(split(regexp_extract(url, "^[^#]*\\?([^#]*)", 1), "&"),
       p => p =!= ""))
 
   /** Mercator-style structural trap verdict. Defaults: a segment

@@ -76,7 +76,11 @@ object Redirects {
     // (maxHops, 2^rounds] DID resolve exactly but exceed the client cap
     // -> looped, same as true cycles (which never compose to a terminal
     // and sit at hops == 2^rounds).
-    val srcs = edges.select(col("src").as("_t")).distinct()
+    // src is unique under the one-outgoing-edge contract — no distinct
+    // (it would add a full aggregate+exchange over 10^10 keys for a
+    // logical no-op; a violated contract has already corrupted the
+    // doubling join above, so dedup here could not rescue anything).
+    val srcs = edges.select(col("src").as("_t"))
     m.join(srcs, m("cur") === srcs("_t"), "left")
       .withColumn("_resolved", col("_t").isNull && col("hops") <= maxHops)
       .select(col("u").as("url"),

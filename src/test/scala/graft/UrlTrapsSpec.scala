@@ -49,4 +49,12 @@ class UrlTrapsSpec extends SparkTestBase {
     assert(feats("http://h.test/a/b?p=/x/x/x/x")._2 == 1)
     assert(feats("http://h.test/a#frag/x/x/x")._1 == 1)
   }
+
+  test("a '?' inside the fragment is not a query; uppercase scheme still screened") {
+    // fragment-only '?': zero params, so no param-trap verdict
+    assert(feats("http://h.test/a#f?k1=1&k2=1&k3=1&k4=1&k5=1&k6=1&k7=1&k8=1")
+      == ((1, 1, 0, false)))
+    // raw (pre-canonicalization) uppercase scheme must not evade the screen
+    assert(feats("HTTP://h.test/x/x/x/cal") == ((4, 3, 0, true)))
+  }
 }
