@@ -101,4 +101,42 @@ class PropertySpec extends SparkTestBase {
       .select(TextOps.tokenCount($"text")).as[Int].collect().toSeq
     assert(base == pad)
   }
+
+  test("UrlTraps features match a plain-Scala model on generated URLs (batch of 300)") {
+    import graft.canon.UrlTraps
+    val segGen = Gen.oneOf("a", "b", "x", "x", "cal", "s1") // dup 'x' forces runs
+    val trapUrlGen: Gen[(String, List[String], Int, String)] = for {
+      sch <- schemeGen
+      host <- hostGen
+      segs <- Gen.choose(0, 14).flatMap(nn => Gen.listOfN(nn, segGen))
+      trailing <- Gen.oneOf("", "/")
+      nParams <- Gen.choose(0, 9)
+      frag <- Gen.oneOf("", "#x", "#f?k1=1&k2=1") // '?' in fragment: not a query
+    } yield {
+      val path = segs.map("/" + _).mkString +
+        (if (segs.nonEmpty || trailing.nonEmpty) trailing else "")
+      val query =
+        if (nParams == 0) ""
+        else "?" + (1 to nParams).map(i => s"k$i=$i").mkString("&")
+      (s"$sch://$host$path$query$frag", segs, nParams, frag)
+    }
+    def modelRun(segs: List[String]): Int =
+      if (segs.isEmpty) 0
+      else segs.tail.foldLeft((segs.head, 1, 1)) { case ((prev, run, best), s) =>
+        val r = if (s == prev) run + 1 else 1
+        (s, r, math.max(best, r))
+      }._3
+    val cases = Gen.listOfN(300, trapUrlGen).sample.get
+    val got = cases.map(_._1).toDF("u").select(
+      UrlTraps.pathDepth($"u"), UrlTraps.maxSegmentRun($"u"),
+      UrlTraps.queryParamCount($"u"), UrlTraps.isTrap($"u"))
+      .as[(Int, Int, Int, Boolean)].collect().toSeq
+    got.zip(cases).foreach { case ((d, r, p, t), (u, segs, nParams, _)) =>
+      assert(d == segs.size, s"depth $u")
+      assert(r == modelRun(segs), s"run $u")
+      assert(p == nParams, s"params $u")
+      assert(t == (modelRun(segs) >= 3 || segs.size >= 12 || nParams >= 8),
+        s"verdict $u")
+    }
+  }
 }
