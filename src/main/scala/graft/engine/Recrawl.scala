@@ -105,4 +105,28 @@ object Recrawl {
       .withColumn("revisit_rank", row_number().over(w))
       .filter(col("revisit_rank") <= perHostBudget)
   }
+
+  /** Salted two-phase form of [[scheduleRevisits]] for hot-host skew —
+    * the same argument as `Politeness.budgetRankSalted`: a salt-local
+    * rank above the budget implies the host-global rank is too (rows
+    * ahead in the salt are a subset of rows ahead in the host), so phase
+    * 1 discards them within (host, salt) partitions and phase 2 computes
+    * the exact global rank over <= salts*budget survivors per host. The
+    * order key is total ([[revisitOrder]] ends on url), so the selected
+    * rows AND their ranks are identical to the plain form.
+    */
+  def scheduleRevisitsSalted(stats: DataFrame, perHostBudget: Int,
+      salts: Int): DataFrame = {
+    val w1 = Window.partitionBy(col("host"), col("_salt"))
+      .orderBy(revisitOrder: _*)
+    val pre = stats
+      .withColumn("_salt", pmod(xxhash64(col("url")), lit(salts.toLong))
+        .cast("int"))
+      .withColumn("_lrk", row_number().over(w1))
+      .filter(col("_lrk") <= perHostBudget)
+    val w2 = Window.partitionBy(col("host")).orderBy(revisitOrder: _*)
+    pre.withColumn("revisit_rank", row_number().over(w2))
+      .filter(col("revisit_rank") <= perHostBudget)
+      .drop("_salt", "_lrk")
+  }
 }

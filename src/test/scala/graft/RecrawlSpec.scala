@@ -59,6 +59,24 @@ class RecrawlSpec extends SparkTestBase {
       s"expected 1 shuffle (shared url partitioning), got ${exchanges.size}")
   }
 
+  test("salted revisit schedule == plain (selection AND ranks), incl. hot host") {
+    // hot host h0: 60 urls; h1: 5 — varied priorities via varied hashes
+    val hist = (0 until 65).flatMap { i =>
+      val host = if (i < 60) "h0" else "h1"
+      val u = s"u$i"
+      // visits 1..3 with per-url change pattern
+      (0 to (i % 3)).map(r => (u, host, r.toLong, s"h${i % 4}-${r / (1 + i % 2)}"))
+    }.toDF("url", "host", "round", "content_hash")
+    val stats = Recrawl.changeStats(hist, 5L)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("host", "revisit_rank", "url")
+        .as[(String, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    for (salts <- Seq(2, 7)) {
+      assert(norm(Recrawl.scheduleRevisitsSalted(stats, 10, salts)) ==
+        norm(Recrawl.scheduleRevisits(stats, 10)), s"salts=$salts")
+    }
+  }
+
   test("historyFromRecords: two identical crawls -> zero changes, visits=2") {
     import graft.corpus.Corpus
     import graft.engine.CrawlEngine
