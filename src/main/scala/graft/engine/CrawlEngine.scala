@@ -332,16 +332,26 @@ object CrawlEngine {
 
     // bucketed seen mirror (exact-tier twin of the fetcher's bucketed
     // corpus copy): activates once the seen set is past broadcast size;
-    // a resume in the same warehouse finds the table, a resume in a
-    // fresh warehouse recreates it from the dir deltas at the next
-    // threshold check. Stale rows from aborted rounds are harmless
-    // (identical to the replay's rows — see BucketedSeenStore scaladoc).
+    // a RESUME in the same warehouse adopts the table (stale rows from
+    // aborted rounds are harmless — identical to the replay's rows, see
+    // BucketedSeenStore scaladoc), a resume in a fresh warehouse
+    // recreates it from the dir deltas at the next threshold check.
+    // A FRESH crawl must NOT adopt it: the table then belongs to a
+    // PREVIOUS crawl that used the same workDir path (e.g. back-to-back
+    // bench trials wiping the dir between runs), and its rows are other
+    // runs' seen URLs — adopting them silently under-schedules from the
+    // first round whose candidates reach the exact tier. Found as a
+    // 24%-compounding under-schedule in bench trial 2 at 30M docs.
+    val resuming = startRound > 0 || resumeState.nonEmpty
     var seenStore: Option[graft.dedup.BucketedSeenStore] = {
       if (cfg.dedup && cfg.bucketedSeenMin >= 0) {
         val s = new graft.dedup.BucketedSeenStore(spark,
           graft.dedup.BucketedSeenStore.tableFor(workDir),
           cfg.frontierPartitions)
-        if (s.exists) Some(s) else None
+        if (s.exists) {
+          if (resuming) Some(s)
+          else { s.drop(); None }
+        } else None
       } else None
     }
     // bloom ledger = FAMILY of per-round shard maps, each sized to its

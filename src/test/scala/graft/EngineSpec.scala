@@ -310,6 +310,38 @@ class EngineSpec extends SparkTestBase {
     assert(key(straight) == key(resumed))
   }
 
+  test("fresh crawl in a reused workDir drops the stale seen mirror (bench-trial bug)") {
+    // the bench pattern: same workDir PATH, dir wiped between runs, same
+    // warehouse/session. Run 1 builds the mirror (bucketedSeenMin=0);
+    // before the fix run 2 adopted run 1's table and silently
+    // under-scheduled (its bloom false-positives were wrongly confirmed
+    // "seen" by the stale rows). Run 2's trace must be IDENTICAL.
+    val cfg = CrawlConfig(maxRounds = 4, maxDepth = 4,
+      frontierPartitions = 4, bloomShards = 4, bloomExpectedItems = 100L,
+      useBloomPrefilter = false, // EVERY candidate consults the exact tier
+      bucketedSeenMin = 0)
+    val dir = SparkTestBase.tmpDir("reused-workdir")
+    def key(r: CrawlEngine.RunResult) = r.trace(spark)
+      .select($"seq", $"url", $"depth").as[(Long, String, Int)]
+      .collect().sortBy(_._1).toSeq
+    val run1 = CrawlEngine.run(spark, docsDf, seeds, noRobots, router,
+      cfg, dir)
+    val k1 = key(run1)
+    // wipe the dir contents like Bench.wipe does, keep the same path
+    def wipe(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try { s.forEach(c => wipe(c)) } finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    wipe(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val run2 = CrawlEngine.run(spark, docsDf, seeds, noRobots, router,
+      cfg, dir)
+    assert(key(run2) == k1)
+  }
+
   test("distributed crawl-delay ledger: trace identical to driver ledger") {
     // distributedDelayHosts = 0 forces the web-scale path: delays as a
     // DataFrame (no robots.collect), (host, notBefore) as a checkpointed
