@@ -22,10 +22,18 @@ object UrlTraps {
 
   /** `/a/b/c` of the canonical URL, "" when pathless. Scheme matching is
     * case-insensitive: the screen may run on raw candidate URLs too, and
-    * an uppercase scheme must not let a trap evade the detectors.
+    * an uppercase scheme must not let a trap evade the detectors. Raw
+    * candidates without an authority — protocol-relative (`//h/a/b`) and
+    * bare/relative paths (`a/b/c`, `file:/a/b`) — are screened on their
+    * full path, so a trap-shaped relative link cannot evade by omitting
+    * the scheme.
     */
   private def rawPath(url: Column): Column =
-    regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    when(url.rlike("^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//"),
+      regexp_extract(url,
+        "^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//[^/?#]*([^?#]*)", 1))
+      .otherwise(regexp_extract(url,
+        "^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?([^?#]*)", 1))
 
   /** Path segments, empties dropped (`/a//b/` -> [a, b]). */
   def pathSegments(url: Column): Column =
@@ -54,21 +62,35 @@ object UrlTraps {
   }
 
   /** Number of query parameters (`?a=1&b=2` -> 2; no query -> 0). The
-    * `?` must appear BEFORE any `#`: `page#frag?a&b` has a fragment that
-    * merely contains a question mark, not a query.
+    * query is anchored at the FIRST `?` before any `#`: a value that
+    * itself contains `?` (redirect/tracking URLs like `?url=http://x?k=1`)
+    * still counts from the real query start, and `page#frag?a&b` has a
+    * fragment that merely contains a question mark, not a query.
     */
   def queryParamCount(url: Column): Column =
-    size(filter(split(regexp_extract(url, "^[^#]*\\?([^#]*)", 1), "&"),
+    size(filter(split(regexp_extract(url, "^[^?#]*\\?([^#]*)", 1), "&"),
       p => p =!= ""))
 
+  /** Session-id marker (Mercator §3.2's other standard screen): a
+    * `;jsessionid=` path parameter or a `phpsessid`/`sessionid`/`sid`/
+    * `aspsessionid*` query key. These mint a fresh "distinct" URL per
+    * visitor, so the same page re-enters the frontier forever unless
+    * screened (canonicalization keeps the query — it is load-bearing on
+    * real sites — so the screen, not the canonicalizer, owns this).
+    */
+  def hasSessionId(url: Column): Column =
+    url.rlike("(?i)(;jsessionid=|[?&](phpsessid|sessionid|sid|aspsessionid[a-z0-9]*)=)")
+
   /** Mercator-style structural trap verdict. Defaults: a segment
-    * repeated 3+ times in a row, 12+ path segments, or 8+ query
-    * parameters — each a shape real content almost never has and
-    * generated URL spaces almost always develop.
+    * repeated 3+ times in a row, 12+ path segments, 8+ query
+    * parameters, or a session-id marker — each a shape real content
+    * almost never has and generated URL spaces almost always develop.
     */
   def isTrap(url: Column, maxRun: Int = 3, maxDepth: Int = 12,
-             maxParams: Int = 8): Column =
-    (maxSegmentRun(url) >= maxRun) ||
+             maxParams: Int = 8, screenSessionIds: Boolean = true): Column = {
+    val structural = (maxSegmentRun(url) >= maxRun) ||
       (pathDepth(url) >= maxDepth) ||
       (queryParamCount(url) >= maxParams)
+    if (screenSessionIds) structural || hasSessionId(url) else structural
+  }
 }

@@ -57,7 +57,7 @@ object Recrawl {
       .withColumn("_prevHash", lag(col("content_hash"), 1).over(w))
       .groupBy(col("url"))
       .agg(
-        first(col("host")).as("host"),
+        max(col("host")).as("host"),
         count(lit(1)).as("visits"),
         sum(when(col("_prevHash").isNotNull &&
           col("_prevHash") =!= col("content_hash"), 1L)

@@ -12,6 +12,12 @@ import graft.text.TextOps
 class PropertySpec extends SparkTestBase {
   import spark.implicits._
 
+  /** `gen.sample` may return None (ScalaCheck retries exhausted); retry
+    * until Some so a flaky sample never masquerades as a property failure.
+    */
+  private def sampleOf[T](gen: Gen[T]): T =
+    Iterator.continually(gen.sample).flatten.next()
+
   private val schemeGen = Gen.oneOf("http", "HTTP", "https", "Https")
   private val hostGen = for {
     a <- Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(8))
@@ -31,7 +37,7 @@ class PropertySpec extends SparkTestBase {
       .collect().toSeq
 
   test("canon is idempotent and strips fragments/uppercase-host (batch of 300)") {
-    val urls = Gen.listOfN(300, urlGen).sample.get
+    val urls = sampleOf(Gen.listOfN(300, urlGen))
     val once = canonBatch(urls)
     val twice = canonBatch(once)
     once.zip(twice).zip(urls).foreach { case ((o, t), u) =>
@@ -71,9 +77,9 @@ class PropertySpec extends SparkTestBase {
     } yield names.zip(vals)
     val styleGen = Gen.oneOf(0, 1, 2) // "v" | 'v' | bare
     val cases: Seq[(String, Map[String, String])] =
-      Gen.listOfN(200, attrsGen).sample.get.map { attrs =>
+      sampleOf(Gen.listOfN(200, attrsGen)).map { attrs =>
         val rendered = attrs.map { case (k, v) =>
-          styleGen.sample.get match {
+          sampleOf(styleGen) match {
             case 0 => s"""$k="$v""""
             case 1 => s"$k='$v'"
             case 2 => s"$k=$v"
@@ -93,7 +99,7 @@ class PropertySpec extends SparkTestBase {
   test("token count: invariant under extra whitespace (batch of 200)") {
     val textGen = Gen.listOfN(6,
       Gen.oneOf("the", "fox", "a", "b1", "z")).map(_.mkString(" "))
-    val texts = Gen.listOfN(200, textGen).sample.get
+    val texts = sampleOf(Gen.listOfN(200, textGen))
     val padded = texts.map(_.replace(" ", "   ") + "  ")
     val base = texts.toDF("text")
       .select(TextOps.tokenCount($"text")).as[Int].collect().toSeq
@@ -115,9 +121,13 @@ class PropertySpec extends SparkTestBase {
     } yield {
       val path = segs.map("/" + _).mkString +
         (if (segs.nonEmpty || trailing.nonEmpty) trailing else "")
+      // every 3rd value contains a literal '?' (redirect-target style):
+      // the count must anchor at the FIRST '?', not the last
       val query =
         if (nParams == 0) ""
-        else "?" + (1 to nParams).map(i => s"k$i=$i").mkString("&")
+        else "?" + (1 to nParams)
+          .map(i => if (i % 3 == 0) s"k$i=u?x$i=1" else s"k$i=$i")
+          .mkString("&")
       (s"$sch://$host$path$query$frag", segs, nParams, frag)
     }
     def modelRun(segs: List[String]): Int =
@@ -126,7 +136,7 @@ class PropertySpec extends SparkTestBase {
         val r = if (s == prev) run + 1 else 1
         (s, r, math.max(best, r))
       }._3
-    val cases = Gen.listOfN(300, trapUrlGen).sample.get
+    val cases = sampleOf(Gen.listOfN(300, trapUrlGen))
     val got = cases.map(_._1).toDF("u").select(
       UrlTraps.pathDepth($"u"), UrlTraps.maxSegmentRun($"u"),
       UrlTraps.queryParamCount($"u"), UrlTraps.isTrap($"u"))
@@ -137,6 +147,30 @@ class PropertySpec extends SparkTestBase {
       assert(p == nParams, s"params $u")
       assert(t == (modelRun(segs) >= 3 || segs.size >= 12 || nParams >= 8),
         s"verdict $u")
+    }
+  }
+
+  test("UrlTraps screens raw (authority-less) URLs and session-id markers") {
+    import graft.canon.UrlTraps
+    val cases = Seq(
+      // (url, depth, maxRun, sessionId)
+      ("//mirror.test/x/x/x/p", 4, 3, false),        // protocol-relative
+      ("a/x/x/x/b", 5, 3, false),                    // bare relative path
+      ("file:/x/x/x", 3, 3, false),                  // scheme, no authority
+      ("http://h.test/p;jsessionid=A1B2C3", 1, 1, true),
+      ("http://h.test/p?PHPSESSID=deadbeef", 1, 1, true),
+      ("http://h.test/p?a=1&sid=42", 1, 1, true),
+      ("http://h.test/p?aside=1", 1, 1, false),      // 'sid' needs ?/& anchor
+      ("http://h.test/p?residue=x&b=2", 1, 1, false))
+    val got = cases.map(_._1).toDF("u").select(
+      UrlTraps.pathDepth($"u"), UrlTraps.maxSegmentRun($"u"),
+      UrlTraps.hasSessionId($"u"), UrlTraps.isTrap($"u"))
+      .as[(Int, Int, Boolean, Boolean)].collect().toSeq
+    got.zip(cases).foreach { case ((d, r, sess, trap), (u, wd, wr, wsess)) =>
+      assert(d == wd, s"depth $u")
+      assert(r == wr, s"run $u")
+      assert(sess == wsess, s"session $u")
+      assert(trap == (wr >= 3 || wd >= 12 || wsess), s"verdict $u")
     }
   }
 }
