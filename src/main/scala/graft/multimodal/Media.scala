@@ -8,13 +8,14 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, plus a batched decode /
   * feature-extract stage.
   *
-  * The Spark-side plumbing is real — schema, partition-preserving batched
+  * The Spark-side plumbing — schema, partition-preserving batched
   * iteration (mapPartitions over an executor-local decoder), feature
-  * vector shape — while the codec itself is a clearly-marked
-  * deterministic STUB ([[StubDecoder]]): no image/audio libraries ship in
-  * this sandbox. Swapping in a real decoder is a one-class change; the
-  * stub's output is a pure function of the payload bytes so the whole
-  * stage is testable and oracle-checkable end to end.
+  * vector shape — is shared by three decoders behind one seam:
+  * [[ImageIoDecoder]] (REAL pixels for PNG/GIF/BMP/JPEG via the JDK's
+  * `javax.imageio`), [[PpmDecoder]] (REAL pixels for netpbm P6, pure
+  * parser), and [[StubDecoder]] (deterministic fake whose output is a
+  * closed-form function of the payload bytes, so stages over arbitrary
+  * non-image payloads stay oracle-checkable end to end).
   */
 object Media {
 
@@ -116,6 +117,30 @@ object Media {
       when(format === "png", png)
         .when(format === "gif", gif)
         .otherwise(jpeg)), filler)
+  }
+
+  /** Deterministic REAL images: a complete 24-bit uncompressed BMP
+    * (BITMAPINFOHEADER, bottom-up, BI_RGB) of fixed 4x2 dims with every
+    * pixel = (r, g, b) — built entirely from hex literals + unhex, i.e.
+    * codegen'd Catalyst string ops, and decodable by ANY standards-
+    * compliant BMP reader (here: [[ImageIoDecoder]]). Because the
+    * raster is closed-form, the decoded per-channel means are too —
+    * the real-codec path gets a DuckDB oracle without DuckDB decoding
+    * anything.
+    */
+  def bmpPayload(r: org.apache.spark.sql.Column,
+      g: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def hex2(c: org.apache.spark.sql.Column) =
+      lpad(hex(pmod(c.cast("long"), lit(256L))), 2, "0")
+    // 14-byte file header (size 78, pixel offset 54) + 40-byte
+    // BITMAPINFOHEADER (4x2, 1 plane, 24 bpp, BI_RGB, raster 24 bytes)
+    val header = "424D4E000000000000003600000028000000" +
+      "0400000002000000010018000000000018000000" +
+      "00000000000000000000000000000000"
+    // 8 pixels x little-endian channel order B,G,R; rows are 12 bytes =
+    // already 4-byte aligned, so no padding
+    unhex(concat(lit(header), repeat(concat(hex2(b), hex2(g), hex2(r)), 8)))
   }
 
   /** Media table derived from a text corpus: payload = UTF-8 bytes (the

@@ -308,6 +308,28 @@ object PipelineQueries {
           round(element_at(col("feature"), 8).cast("double") * 997)
             .cast("long").as("f7"))
         .orderBy("media_id")
+    }),
+
+    // REAL codec end-to-end: Catalyst-built 4x2 BMPs (one color per
+    // doc) -> javax.imageio decode -> per-channel means recover the
+    // exact channel bytes (featureDim 3: bucket k = channel k mean).
+    "q_media_imageio" -> ((s, dir) => {
+      import graft.multimodal.ImageIoDecoder
+      val i = col("doc_id")
+      val media = documents(s, dir).select(
+        i.cast("long").as("media_id"), lit("bmp").as("format"),
+        Media.bmpPayload(pmod(i, lit(256)), pmod(i * 3 + 1, lit(256)),
+          pmod(i * 7 + 5, lit(256))).as("payload"))
+      Media.extractFeatures(media, new ImageIoDecoder(3))
+        .select(col("media_id"), col("byte_len"), col("width"),
+          col("height"),
+          round(element_at(col("feature"), 1).cast("double") * 255)
+            .cast("long").as("ch_r"),
+          round(element_at(col("feature"), 2).cast("double") * 255)
+            .cast("long").as("ch_g"),
+          round(element_at(col("feature"), 3).cast("double") * 255)
+            .cast("long").as("ch_b"))
+        .orderBy("media_id")
     })
   )
 
@@ -658,6 +680,14 @@ object PipelineQueries {
              AS BIGINT) AS f0,
            CAST((CAST(octet_length(encode(text)) AS BIGINT) * 31 + 7) % 997
              AS BIGINT) AS f7
+         FROM documents ORDER BY media_id""",
+
+    "q_media_imageio" ->
+      """SELECT doc_id AS media_id, CAST(78 AS BIGINT) AS byte_len,
+           CAST(4 AS INT) AS width, CAST(2 AS INT) AS height,
+           CAST(doc_id % 256 AS BIGINT) AS ch_r,
+           CAST((doc_id * 3 + 1) % 256 AS BIGINT) AS ch_g,
+           CAST((doc_id * 7 + 5) % 256 AS BIGINT) AS ch_b
          FROM documents ORDER BY media_id"""
   )
 }
