@@ -353,6 +353,38 @@ object SparkEntry {
         .select(col("doc_id"), col("host")).orderBy("doc_id")
     }),
 
+    // RFC 9309 wildcards + product-token agent + '*'-group fallback:
+    // hosts w0-w3 publish a GraftBot group with '*'/'$' path patterns;
+    // w4 publishes ONLY a '*' group (fallback path). Parsed as
+    // "GraftBot/1.2" — the group token matches the UA's product token,
+    // and where a specific group exists it SHADOWS '*'.
+    "q_robots_wildcard" -> ((s, dir) => {
+      import s.implicits._
+      val i = col("doc_id")
+      val paths = Seq("/private/x", "/private/ok", "/private/okk",
+        "/public/a", "/dl/file.pdf", "/dl/file.pdfx", "/mixed/a/b",
+        "/private")
+      val host = concat(lit("w"), (i % 5).cast("string"), lit(".test"))
+      val frontier = documents(s, dir).select(
+        col("doc_id"),
+        concat(lit("http://"), host,
+          element_at(array(paths.map(lit): _*), (i % 8).cast("int") + 1))
+          .as("canonical"))
+        .withColumn("host", Canon.host(col("canonical")))
+      val botBody = Seq("User-agent: GraftBot", "Disallow: /private*",
+        "Allow: /private/ok$", "Disallow: *.pdf$", "User-agent: *",
+        "Disallow: /").mkString("\n")
+      val starBody = Seq("User-agent: *", "Disallow: /mixed").mkString("\n")
+      val bodies = (0 until 5).map(h =>
+        (s"w$h.test", if (h == 4) starBody else botBody))
+        .toDF("host", "body")
+      val rules = Politeness.parseRobots(bodies, agent = "GraftBot/1.2")
+        .withColumn("hostBudget", lit(1000).cast("int"))
+        .as[RobotsRule]
+      Politeness.robotsFilter(frontier, rules)
+        .select(col("doc_id"), col("host")).orderBy("doc_id")
+    }),
+
     // frontier expansion: link spans -> child rows with depth+1, inherited
     // tag, emission order (Handler.linkFollower + RequestQueue semantics)
     "q_frontier_children" -> ((s, dir) => {
@@ -907,6 +939,20 @@ object SparkEntry {
                                     22, 24, 26, 28, 30, 32, 34, 36, 38)
                     AND starts_with(concat('/docs/', CAST(doc_id AS VARCHAR)),
                                     '/docs/1'))
+         ORDER BY doc_id""",
+
+    // path classes (doc_id % 8): 0 /private/x D:/private*(9); 1
+    // /private/ok A:/private/ok$(12) beats D(9); 2 /private/okk ($
+    // stops the allow); 3 /public/a unmatched; 4 /dl/file.pdf
+    // D:*.pdf$(6); 5 /dl/file.pdfx ($ anchor fails); 6 /mixed/a/b; 7
+    // /private (trailing * matches empty). Host w4 (doc_id % 5 = 4)
+    // fell back to its '*' group, which only blocks /mixed*.
+    "q_robots_wildcard" ->
+      """SELECT doc_id,
+           'w' || CAST(doc_id % 5 AS VARCHAR) || '.test' AS host
+         FROM documents
+         WHERE (doc_id % 5 = 4 AND doc_id % 8 <> 6)
+            OR (doc_id % 5 <> 4 AND doc_id % 8 IN (1, 3, 5, 6))
          ORDER BY doc_id""",
 
     "q_frontier_children" -> {

@@ -13,8 +13,8 @@ import graft.model.RobotsRule
   * 289-306). The north rule requires actual enforcement. Mapping:
   *
   *  - robots rules -> broadcast join on `host` + longest-match
-  *    Disallow-vs-Allow precedence via the fused `LongestPrefixLen`
-  *    expression (codegen'd; no UDF);
+  *    Disallow-vs-Allow precedence via the fused `LongestMatchLen`
+  *    expression (codegen'd; no UDF; RFC 9309 `*`/`$` path patterns);
   *  - per-host budget -> `row_number() over (partition by host order by
   *    priority, discoveryRound, seq) <= hostBudget` — the "window-ranked
   *    priority queue keyed by (host, priority, discovery_ts)" of the
@@ -42,13 +42,14 @@ object Politeness {
     val r = if (broadcastRobots) broadcast(r0) else r0
     val joined = frontier.join(r, Seq("host"), "left")
     // LONGEST-match precedence (de-facto Google semantics): blocked iff
-    // the longest matching Disallow prefix is strictly longer than the
-    // longest matching Allow prefix (tie -> allow; no allows == classic
-    // disallow-only). LongestPrefixLen is a fused codegen'd expression —
-    // this filter runs once per frontier candidate per round.
+    // the longest matching Disallow pattern is strictly longer than the
+    // longest matching Allow pattern (tie -> allow; no allows == classic
+    // disallow-only). Patterns may use RFC 9309 '*'/'$' wildcards;
+    // LongestMatchLen is a fused codegen'd expression — this filter runs
+    // once per frontier candidate per round.
     def lpl(arr: Column): Column = {
       import org.apache.spark.sql.GraftExpr
-      GraftExpr.column(RobotsExpr.LongestPrefixLen(
+      GraftExpr.column(RobotsExpr.LongestMatchLen(
         GraftExpr.expression(col("_path")), GraftExpr.expression(arr)))
     }
     joined
@@ -75,12 +76,17 @@ object Politeness {
     * grammar subset: `#` comments stripped, a RUN of consecutive
     * `User-agent:` lines opens ONE group shared by all the stacked
     * agents (RFC 9309 §2.2.1 — a group has multiple start-of-group
-    * lines); `Disallow:` / `Allow:` prefixes and `Crawl-delay:` seconds
-    * apply to the groups whose agent matches `agent`
-    * CASE-INSENSITIVELY (default `*`); unknown keys and empty values
-    * are ignored; multiple matching groups merge (union of prefixes in
-    * line order, max delay). Allow participates in [[robotsFilter]]'s
-    * longest-match precedence.
+    * lines); `Disallow:` / `Allow:` path patterns (`*`/`$` wildcards
+    * honored downstream by [[robotsFilter]]) and `Crawl-delay:` seconds
+    * apply to the matching groups. Agent matching is RFC 9309 §2.2.1:
+    * a group matches when its agent value CASE-INSENSITIVELY equals
+    * `agent` or `agent`'s PRODUCT TOKEN (the part before the first `/`
+    * — so group `googlebot` matches crawler `Googlebot/2.1`); per host,
+    * if NO specific group matches, the `*` groups apply instead (the
+    * RFC's fallback — specific groups SHADOW `*`, they don't merge with
+    * it). Unknown keys and empty values are ignored; multiple matching
+    * groups merge (union of patterns in line order, max delay). Allow
+    * participates in [[robotsFilter]]'s longest-match precedence.
     *
     * Fully declarative scan: one posexplode per body, the group id is a
     * running `sum() over (partition by host order by line)` — per-host
@@ -109,12 +115,24 @@ object Politeness {
           (col("_prevKey").isNull || col("_prevKey") =!= "user-agent"),
           1).otherwise(0)).over(wGrp))
       .drop("_prevKey")
-    val starGroups = grouped
-      .filter(col("key") === "user-agent" &&
-        lower(col("value")) ===
-          agent.toLowerCase(java.util.Locale.ROOT))
-      .select(col("host").as("_h"), col("grp").as("_g")).distinct()
-    val inStar = grouped.join(starGroups,
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val tokenLc = agentLc.takeWhile(_ != '/')
+    // per (host, grp): does any stacked UA line match the crawler
+    // specifically (full UA or product token)? the '*' group?
+    val uaGroups = grouped
+      .filter(col("key") === "user-agent")
+      .groupBy(col("host"), col("grp"))
+      .agg(
+        max(lower(col("value")) === agentLc ||
+          lower(col("value")) === tokenLc).as("_spec"),
+        max(col("value") === "*").as("_star"))
+    // RFC 9309 fallback: specific groups shadow '*' groups per host
+    val wHost = Window.partitionBy(col("host"))
+    val chosenGroups = uaGroups
+      .withColumn("_hasSpec", max(col("_spec")).over(wHost))
+      .filter(when(col("_hasSpec"), col("_spec")).otherwise(col("_star")))
+      .select(col("host").as("_h"), col("grp").as("_g"))
+    val inStar = grouped.join(chosenGroups,
       col("host") === col("_h") && col("grp") === col("_g"), "left_semi")
     def ordered(key: String) = transform(
       array_sort(collect_list(

@@ -202,9 +202,9 @@ object StreamOps {
     * [[graft.politeness.Politeness.parseRobots]] produces (host,
     * disallow, allow, crawlDelayMs), not a driver Map, and blocking
     * uses the SAME fused longest-match arithmetic as the batch
-    * `robotsFilter` (RobotsExpr.LongestPrefixLen: blocked iff the
-    * longest matching Disallow prefix is strictly longer than the
-    * longest matching Allow prefix). Execution shape:
+    * `robotsFilter` (RobotsExpr.LongestMatchLen: blocked iff the
+    * longest matching Disallow pattern is strictly longer than the
+    * longest matching Allow pattern; RFC 9309 `*`/`$` wildcards). Execution shape:
     *
     *  1. canonicalize + host projection (the batch Canon expressions),
     *  2. STREAM-STATIC broadcast join against the robots table — Spark
@@ -225,7 +225,7 @@ object StreamOps {
     import org.apache.spark.sql.{Column, GraftExpr}
     import graft.canon.Canon
     def lpl(path: Column, arr: Column): Column =
-      GraftExpr.column(graft.politeness.RobotsExpr.LongestPrefixLen(
+      GraftExpr.column(graft.politeness.RobotsExpr.LongestMatchLen(
         GraftExpr.expression(path), GraftExpr.expression(arr)))
     val r = broadcast(robots.select(col("host").as("_rh"),
       col("disallow").as("_dis"), col("allow").as("_alw"),

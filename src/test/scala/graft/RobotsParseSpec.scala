@@ -129,4 +129,77 @@ class RobotsParseSpec extends SparkTestBase {
       .toDF("canonical", "host")
     assert(Politeness.robotsFilter(frontier, rules).count() == 1)
   }
+
+  test("product token: group 'googlebot' matches crawler 'Googlebot/2.1'") {
+    val body =
+      """User-agent: googlebot
+        |Disallow: /g
+        |User-agent: *
+        |Disallow: /star""".stripMargin
+    // token match, full-UA match, and the specific group SHADOWS '*'
+    assert(parse(body, agent = "Googlebot/2.1") ==
+      List(("h.test", Seq("/g"), Seq.empty, 0L)))
+    val bodyFull = "User-agent: googlebot/2.1\nDisallow: /exact"
+    assert(parse(bodyFull, agent = "Googlebot/2.1") ==
+      List(("h.test", Seq("/exact"), Seq.empty, 0L)))
+  }
+
+  test("no specific group -> '*' group applies (RFC 9309 fallback)") {
+    val body =
+      """User-agent: otherbot
+        |Disallow: /other
+        |User-agent: *
+        |Disallow: /star
+        |Crawl-delay: 2""".stripMargin
+    assert(parse(body, agent = "GraftBot/1.2") ==
+      List(("h.test", Seq("/star"), Seq.empty, 2000L)))
+  }
+
+  test("RFC 9309 path patterns: '*' and '$' (matcher core)") {
+    import graft.politeness.RobotsExpr
+    import org.apache.spark.unsafe.types.UTF8String
+    def m(path: String, pat: String) =
+      RobotsExpr.matches(UTF8String.fromString(path),
+        UTF8String.fromString(pat))
+    assert(m("/private/x", "/private*"))
+    assert(m("/private", "/private*"))     // '*' matches empty
+    assert(m("/a/b.pdf", "*.pdf$"))
+    assert(!m("/a/b.pdfx", "*.pdf$"))      // '$' anchors end
+    assert(m("/a/b.pdfx", "*.pdf"))        // un-anchored: substring-prefix
+    assert(m("/x/y/secret/z", "/*/secret"))
+    assert(!m("/secret/z", "/*/secret"))   // '*' must span one segment+
+    assert(m("/p/q", "/p/q$"))
+    assert(!m("/p/qq", "/p/q$"))
+    assert(m("/p/q", ""))                  // empty pattern: matches all
+    assert(m("/fish*head", "/fish*"))      // literal path '*' irrelevant
+    assert(m("/a$b", "/a$b"))              // '$' mid-pattern is literal
+    assert(!m("/ab", "/a$b"))
+    assert(m("/axyb/c", "/a*b/c$"))        // backtracking star
+  }
+
+  test("wildcard rules end-to-end through robotsFilter") {
+    val rules = Politeness.parseRobots(Seq(("h.test",
+      """User-agent: graftbot
+        |Disallow: /private*
+        |Allow: /private/ok$
+        |Disallow: *.pdf$""".stripMargin)).toDF("host", "body"),
+      agent = "GraftBot/1.2")
+      .select(col("host"), col("disallow"), col("crawlDelayMs"),
+        lit(100).as("hostBudget"), col("allow"))
+      .as[graft.model.RobotsRule]
+    val frontier = Seq(
+      "http://h.test/private/x",    // blocked: /private* (9)
+      "http://h.test/private/ok",   // allowed: /private/ok$ (12) wins
+      "http://h.test/private/okk",  // blocked: '$' stops the allow
+      "http://h.test/public",       // allowed: unmatched
+      "http://h.test/docs/a.pdf",   // blocked: *.pdf$
+      "http://h.test/docs/a.pdfx")  // allowed: '$' anchor fails
+      .map(u => (u, "h.test")).toDF("canonical", "host")
+    val allowed = Politeness.robotsFilter(frontier, rules)
+      .select(col("canonical")).as[String].collect().toSet
+    assert(allowed == Set(
+      "http://h.test/private/ok",
+      "http://h.test/public",
+      "http://h.test/docs/a.pdfx"))
+  }
 }
