@@ -46,15 +46,18 @@ object CrawlEngine {
     "url", "canonical", "urlHash", "host", "tag", "depth", "priority",
     "discoveryRound", "parentSeq", "emissionIdx", "path")
 
-  /** Sink-write pool: the four per-round outputs (trace, records, next
-    * frontier, seen delta) are independent reads of the PERSISTED fetch
-    * result, so their write jobs run concurrently — the round floor pays
-    * one write latency instead of four. Spark actions are thread-safe;
-    * the cache is fully populated by the (serial) metrics pass first, so
-    * no job recomputes the fetch.
+  /** Sink-write pool: ALL of a round's post-fetch actions — the four
+    * sink writes (trace, records, next frontier, seen delta), the
+    * outcome/metrics aggregate, the bloom build, the seen-mirror append
+    * and the crawl-delay ledger — run concurrently here; the round floor
+    * pays ONE max-latency instead of their sum (round-4 verdict #1).
+    * Spark actions are thread-safe, and concurrent first reads of the
+    * persisted fetch are safe: the block manager's in-progress locks
+    * compute each cached partition exactly once while other consumers
+    * wait on it.
     */
   private lazy val sinkEc = scala.concurrent.ExecutionContext.fromExecutor(
-    java.util.concurrent.Executors.newFixedThreadPool(4,
+    java.util.concurrent.Executors.newFixedThreadPool(8,
       r => { val t = new Thread(r, "graft-sink"); t.setDaemon(true); t }))
 
   /** Thrown by the engine's own mid-round polls; carries no stack (it is
@@ -405,10 +408,21 @@ object CrawlEngine {
     var frontierCount = inGroup(frontier.count())
     var stopped = false
     var pinned: Option[DataFrame] = None // persisted fetch, for abort cleanup
+    // every concurrent-stage future of the CURRENT round, so the cancel
+    // path can drain stragglers before deleting the round's dirs (a
+    // straggler read-job racing the delete + the resumed crawl's
+    // overwrite is the one nondeterminism the job-group cancel can't
+    // close on its own)
+    val inflight = scala.collection.mutable.ArrayBuffer.empty[
+      scala.concurrent.Future[_]]
+    def track[T](f: scala.concurrent.Future[T]): scala.concurrent.Future[T] = {
+      inflight += f; f
+    }
     try {
     while (frontierCount > 0 && round < cfg.maxRounds && !stopped &&
         !stopSignal()) try {
       inGroup(())
+      inflight.clear()
       val t0 = System.nanoTime()
 
       // 1. defer enforcement (engine mode only; reference records but
@@ -535,26 +549,25 @@ object CrawlEngine {
           when(col("status") === 200, col("outcome"))
             .otherwise(FlowControl.mk(lit("hold"), lit("owner"), lit(0L))))
 
-      // metrics in one pass over the persisted fetch (also provides the
-      // row counts for the sink writes below). PER-TAG accounting, the
-      // full Metric-middleware semantics (metric.rs:126-155: success =
-      // Continue|Wait, failure = Skip|Hold|Fail, per route) — tag
-      // cardinality = registered routes, so the collect stays tiny.
-      val tagRows = routed.groupBy(coalesce(col("tag"), lit("")).as("t"))
-        .agg(
-          sum(when(FlowControl.isSuccess(col("outcome.outcome")), 1L)
-            .otherwise(0L)).as("s"),
-          sum(when(FlowControl.isSuccess(col("outcome.outcome")), 0L)
-            .otherwise(1L)).as("f"),
-          sum(when(col("status") === 200, 1L).otherwise(0L)).as("ok"))
-        .collect()
-      // mid-round poll #2: the fetch is materialized; abort before sinks
+      // 6.5 ONE aggregation pass carries all per-round driver facts —
+      // per-tag metrics (full Metric-middleware semantics,
+      // metric.rs:126-155: success = Continue|Wait, per route) AND the
+      // defer/abort outcome groups that step 8 folds into the ledger
+      // (round-4 verdict #1: these were two serial collects; the group
+      // keys are tags x outcomes x defer queries, so the collect stays
+      // tiny). Launched CONCURRENTLY with the sink writes below — Spark's
+      // block manager computes each persisted fetch partition exactly
+      // once (in-progress block locks), so racing consumers are safe.
+      val fOutcomes = track(scala.concurrent.Future(inGroup(
+        routed.groupBy(col("tag"),
+            col("outcome.outcome").as("o"),
+            col("outcome.deferQuery").as("q"))
+          .agg(count(lit(1)).as("n"),
+            max(coalesce(col("outcome.deferMs"), lit(0L))).as("ms"),
+            sum(when(col("status") === 200, 1L).otherwise(0L)).as("ok"))
+          .collect()))(sinkEc))
+      // mid-round poll #2: abort before launching the sink stage
       if (cfg.cancelMidRound && stopSignal()) throw new MidRoundStop
-      val byTag = tagRows.map(r =>
-        r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-      val succ = tagRows.map(_.getLong(1)).sum
-      val fail = tagRows.map(_.getLong(2)).sum
-      val n200 = tagRows.map(_.getLong(3)).sum
 
       // 7. trace + records sink (S4: typed data sink -> parquet append);
       //    writes launched concurrently with the frontier/seen writes below
@@ -574,55 +587,15 @@ object CrawlEngine {
         size(filter(col("spans"), s => s("kind") === "media")).as("nMedia"),
         lit(round).as("scrapedRound"),
         col("urlHash"))
-      val fTrace = scala.concurrent.Future(inGroup(
+      val fTrace = track(scala.concurrent.Future(inGroup(
         TableIO.writeRoundLite(trace, workDir, "trace", round, "urlHash",
-          bucketsFor(scheduledCount), scheduledCount)))(sinkEc)
-      val fRecords = scala.concurrent.Future(inGroup(
+          bucketsFor(scheduledCount), scheduledCount)))(sinkEc))
+      // records rows = this round's 200s (<= scheduled; exact count lands
+      // with the outcome aggregate, after this write is already running —
+      // scheduledCount is the sizing proxy)
+      val fRecords = track(scala.concurrent.Future(inGroup(
         TableIO.writeRoundLite(records, workDir, "records", round, "urlHash",
-          bucketsFor(n200), n200)))(sinkEc)
-
-      // 8. defer ledger update from outcomes (apply_defer semantics:
-      //    notBefore[key] = max(existing, now) + d, in round units).
-      //    Engine mode also honors Fail as a per-tag kill switch
-      //    (reference apply_abort is a documented no-op, runner.rs:308-323)
-      if (cfg.enforceDefer || cfg.enforceAbort) {
-        val defers = routed
-          .filter(col("outcome.deferMs") > 0 ||
-            (col("outcome.outcome") === "fail"))
-          .select(col("tag"), col("outcome.outcome").as("o"),
-            col("outcome.deferQuery").as("q"),
-            col("outcome.deferMs").as("ms"))
-          .groupBy(col("tag"), col("o"), col("q"))
-          .agg(max(col("ms")).as("ms"))
-          .collect()
-        defers.foreach { r =>
-          val tag = r.getString(0)
-          val isFail = r.getString(1) == "fail"
-          val q = r.getString(2)
-          val dRounds = math.max(1,
-            math.ceil(r.getLong(3).toDouble / cfg.msPerRound).toInt)
-          // TagQuery resolution (flow_control.rs:36-53, is_match :55-65):
-          // Owner / Single / Every / List — a list query expands to one
-          // ledger key per member (F10; "list:a,b" encoding, SURVEY §1.1)
-          val keys: Seq[String] = q match {
-            case "every" => Seq("__every__")
-            case s if s != null && s.startsWith("single:") =>
-              Seq(s.stripPrefix("single:"))
-            case s if s != null && s.startsWith("list:") =>
-              s.stripPrefix("list:").split(",").toSeq.filter(_.nonEmpty)
-            case _ => // owner; null tag (Fallback) never matches: skip
-              if (tag != null) Seq(tag) else Seq.empty
-          }
-          keys.foreach { key =>
-            if (isFail && cfg.enforceAbort)
-              deferLedger += key -> Int.MaxValue // permanent kill
-            else if (!isFail && cfg.enforceDefer) {
-              val base = math.max(deferLedger.getOrElse(key, round), round)
-              deferLedger += key -> (base + dRounds)
-            }
-          }
-        }
-      }
+          bucketsFor(scheduledCount), scheduledCount)))(sinkEc))
 
       // 9. children -> next-round candidates (F9 depth rules: branch = +1,
       //    inherit tag when child tag is null)
@@ -666,100 +639,190 @@ object CrawlEngine {
 
       // children typically outnumber scheduled by the mean out-degree;
       // cheap proxy (exact count not yet known): scheduled x 8
-      val fFront = scala.concurrent.Future(inGroup(
+      val fFront = track(scala.concurrent.Future(inGroup(
         TableIO.writeRound(nextFrontier, workDir, "frontier",
           round, "urlHash", bucketsFor(scheduledCount * 8),
-          cfg.lineageStats)))(sinkEc)
-      val fSeen = scala.concurrent.Future(inGroup(
+          cfg.lineageStats)))(sinkEc))
+      val fSeen = track(scala.concurrent.Future(inGroup(
         TableIO.writeRound(newSeen, workDir, "seen", round,
-          "urlHash", bucketsFor(scheduledCount), cfg.lineageStats)))(sinkEc)
+          "urlHash", bucketsFor(scheduledCount), cfg.lineageStats)))(sinkEc))
+
+      // Everything that used to run serially AFTER the sink awaits rides
+      // the same concurrent stage (round-4 verdict #1 — these serial
+      // actions were ~40% of the 8-core wall at 10M docs): the
+      // seen-mirror append and the compaction+bloom-merge chain behind
+      // the seen delta's durability; the bloom delta and the crawl-delay
+      // ledger need only the (already durable) scheduled table. The
+      // driver folds every result after ONE barrier below.
+      val compactNow = cfg.compactSeenEvery > 0 && round > 0 &&
+        (round + 1) % cfg.compactSeenEvery == 0
+      val bloomOn = cfg.dedup && cfg.useBloomPrefilter
+      type FilterBc = org.apache.spark.broadcast.Broadcast[Map[Int, Array[Byte]]]
+
+      // bucketed seen-mirror maintenance (after the dir delta is durable):
+      // append this round's hashes, or bulk-load the mirror the first time
+      // the crawl crosses the threshold (also heals a lost warehouse)
+      val mirrorOn = cfg.dedup && cfg.bucketedSeenMin >= 0 &&
+        nextSeq + scheduledCount >= cfg.bucketedSeenMin
+      val fMirror: scala.concurrent.Future[Option[graft.dedup.BucketedSeenStore]] =
+        if (!mirrorOn) scala.concurrent.Future.successful(None)
+        else track(fSeen.map { _ =>
+          inGroup(seenStore match {
+            case Some(st) =>
+              if (scheduledCount > 0) st.append(newSeen)
+              None
+            case None =>
+              val st = new graft.dedup.BucketedSeenStore(spark,
+                graft.dedup.BucketedSeenStore.tableFor(workDir),
+                cfg.frontierPartitions)
+              st.bulkLoad(TableIO.readDeltas(spark, workDir, "seen", round))
+              Some(st)
+          })
+        }(sinkEc))
+
+      // periodic seen compaction (Iceberg-style snapshot, bounds the
+      // delta-union fan-in) + bloom maintenance. Compact rounds rebuild
+      // ONE filter sized to the full seen set from the fresh snapshot;
+      // plain rounds aggregate a delta-sized family member from only
+      // this round's new hashes.
+      val fBloom: scala.concurrent.Future[Option[FilterBc]] =
+        if (compactNow) track(fSeen.map { _ =>
+          inGroup {
+            TableIO.compactDeltas(spark, workDir, "seen", round, "urlHash",
+              bucketsFor(nextSeq + scheduledCount))
+            if (!bloomOn) None
+            else {
+              val totalSeen = nextSeq + scheduledCount
+              Some(bcast(buildSeenFilter(
+                TableIO.readDeltas(spark, workDir, "seen", round),
+                math.max(totalSeen / cfg.bloomShards, 1000L))))
+            }
+          }
+        }(sinkEc))
+        else if (bloomOn && scheduledCount > 0)
+          track(scala.concurrent.Future(inGroup(Some(bcast(buildSeenFilter(
+            newSeen,
+            math.max(scheduledCount / cfg.bloomShards, 1000L))))))(sinkEc))
+        else scala.concurrent.Future.successful(None)
+
+      // crawl-delay ledger update: every delay-host scheduled this round
+      // gets notBefore = max(existing, now) + d (runner.rs:289-306). A
+      // scheduled host was necessarily eligible (existing <= round), so
+      // max(existing, round) == round on both paths. Distributed mode
+      // checkpoints the merged (host, notBefore) table; broadcast mode
+      // collects the delay hosts hit. Driver-state mutations fold after
+      // the barrier.
+      val fLedger: scala.concurrent.Future[Boolean] =
+        if (delayDistributed && scheduledCount > 0)
+          track(scala.concurrent.Future(inGroup {
+            val updates = scheduledBack
+              .join(delaysDf.get, Seq("host"))
+              .groupBy(col("host"))
+              .agg((lit(round.toLong) + max(col("_dRounds"))).as("_notBefore"))
+            val merged = hostLedgerDf match {
+              case Some(old) =>
+                old.join(updates.select(col("host")), Seq("host"), "left_anti")
+                  .unionByName(updates)
+              case None => updates
+            }
+            // prune entries that can never block again (notBefore <= next
+            // round): the ledger stays O(currently-delayed hosts), not
+            // O(all hosts ever scheduled)
+            val pruned = merged.filter(col("_notBefore") > round + 1)
+              .withColumn("_hostHash", xxhash64(col("host")))
+            TableIO.writeRound(pruned, workDir, "hostledger", round,
+              "_hostHash", bucketsFor(delayHostCount), withStats = false)
+            true
+          })(sinkEc))
+        else scala.concurrent.Future.successful(false)
+      val fHostsHit: scala.concurrent.Future[Array[String]] =
+        if (!delayDistributed && delayRounds.nonEmpty && scheduledCount > 0)
+          track(scala.concurrent.Future(inGroup(scheduledBack
+            .filter(col("host").isin(delayRounds.keys.toSeq: _*))
+            .select(col("host")).distinct().collect()
+            .map(_.getString(0))))(sinkEc))
+        else scala.concurrent.Future.successful(Array.empty[String])
+
+      // ---- the round's ONE barrier ----
       import scala.concurrent.duration.Duration
       val frontStat = scala.concurrent.Await.result(fFront, Duration.Inf)
       val seenStat = scala.concurrent.Await.result(fSeen, Duration.Inf)
       scala.concurrent.Await.result(fTrace, Duration.Inf)
       scala.concurrent.Await.result(fRecords, Duration.Inf)
-
-      // bucketed seen-mirror maintenance (after the dir delta is durable):
-      // append this round's hashes, or bulk-load the mirror the first time
-      // the crawl crosses the threshold (also heals a lost warehouse)
-      if (cfg.dedup && cfg.bucketedSeenMin >= 0 &&
-          nextSeq + scheduledCount >= cfg.bucketedSeenMin) {
-        seenStore match {
-          case Some(st) => if (scheduledCount > 0) st.append(newSeen)
-          case None =>
-            val st = new graft.dedup.BucketedSeenStore(spark,
-              graft.dedup.BucketedSeenStore.tableFor(workDir),
-              cfg.frontierPartitions)
-            st.bulkLoad(TableIO.readDeltas(spark, workDir, "seen", round))
-            seenStore = Some(st)
-        }
+      val outcomeRows = scala.concurrent.Await.result(fOutcomes, Duration.Inf)
+      scala.concurrent.Await.result(fMirror, Duration.Inf)
+        .foreach(st => seenStore = Some(st))
+      scala.concurrent.Await.result(fBloom, Duration.Inf).foreach { built =>
+        if (compactNow) {
+          // probe cost returns to O(1) per candidate; the superseded
+          // broadcasts are destroyed (their executor cache entries age
+          // out via the weak-keyed Filters cache)
+          val old = bloomLedger
+          bloomLedger = Vector(built)
+          old.foreach(_.destroy())
+        } else bloomLedger :+= built
       }
-
-      // crawl-delay ledger update: every delay-host scheduled this round
-      // gets notBefore = max(existing, now) + d (runner.rs:289-306). A
-      // scheduled host was necessarily eligible (existing <= round), so
-      // max(existing, round) == round on both paths.
-      if (delayDistributed && scheduledCount > 0) {
-        val updates = scheduledBack
-          .join(delaysDf.get, Seq("host"))
-          .groupBy(col("host"))
-          .agg((lit(round.toLong) + max(col("_dRounds"))).as("_notBefore"))
-        val merged = hostLedgerDf match {
-          case Some(old) =>
-            old.join(updates.select(col("host")), Seq("host"), "left_anti")
-              .unionByName(updates)
-          case None => updates
-        }
-        // prune entries that can never block again (notBefore <= next
-        // round): the ledger stays O(currently-delayed hosts), not
-        // O(all hosts ever scheduled)
-        val pruned = merged.filter(col("_notBefore") > round + 1)
-          .withColumn("_hostHash", xxhash64(col("host")))
-        TableIO.writeRound(pruned, workDir, "hostledger", round,
-          "_hostHash", bucketsFor(delayHostCount), withStats = false)
+      if (scala.concurrent.Await.result(fLedger, Duration.Inf)) {
         hostLedgerDf = Some(
           TableIO.readRound(spark, workDir, "hostledger", round)
             .select(col("host"), col("_notBefore")))
         staleLedgerRounds = lastHostLedgerRound.toList ::: staleLedgerRounds
         lastHostLedgerRound = Some(round)
-      } else if (delayRounds.nonEmpty && scheduledCount > 0) {
-        val hostsHit = scheduledBack
-          .filter(col("host").isin(delayRounds.keys.toSeq: _*))
-          .select(col("host")).distinct().collect().map(_.getString(0))
-        hostsHit.foreach { h =>
-          val base = math.max(hostNotBefore.getOrElse(h, round), round)
-          hostNotBefore += h -> (base + delayRounds(h))
-        }
+      }
+      scala.concurrent.Await.result(fHostsHit, Duration.Inf).foreach { h =>
+        val base = math.max(hostNotBefore.getOrElse(h, round), round)
+        hostNotBefore += h -> (base + delayRounds(h))
       }
 
-      val compactNow = cfg.compactSeenEvery > 0 && round > 0 &&
-        (round + 1) % cfg.compactSeenEvery == 0
-      // periodic seen compaction (Iceberg-style snapshot): bounds the
-      // delta-union fan-in; read path picks the snapshot automatically
-      if (compactNow) {
-        TableIO.compactDeltas(spark, workDir, "seen", round, "urlHash",
-          bucketsFor(nextSeq + scheduledCount))
-      }
-
-      if (cfg.dedup && cfg.useBloomPrefilter) {
-        if (compactNow) {
-          // merge the bloom family into ONE filter sized to the full
-          // compacted seen set: probe cost returns to O(1) per candidate
-          // and the superseded broadcasts are destroyed (their executor
-          // cache entries age out via the weak-keyed Filters cache)
-          val totalSeen = nextSeq + scheduledCount
-          val merged = bcast(buildSeenFilter(
-            TableIO.readDeltas(spark, workDir, "seen", round),
-            math.max(totalSeen / cfg.bloomShards, 1000L)))
-          val old = bloomLedger
-          bloomLedger = Vector(merged)
-          old.foreach(_.destroy())
-        } else if (scheduledCount > 0) {
-          // bloom ledger delta: aggregate only this round's new hashes into
-          // a delta-sized family member (probed alongside earlier rounds')
-          val perShard = math.max(scheduledCount / cfg.bloomShards, 1000L)
-          bloomLedger :+= bcast(buildSeenFilter(newSeen, perShard))
+      // driver fold of the outcome aggregate — columns: tag, o(utcome),
+      // q(uery), n, ms, ok
+      def tagOf(r: org.apache.spark.sql.Row): String =
+        if (r.isNullAt(0)) null else r.getString(0)
+      val byTag = outcomeRows.groupBy(r => Option(tagOf(r)).getOrElse(""))
+        .map { case (t, rs) =>
+          val (s, f) = rs.foldLeft((0L, 0L)) { case ((s0, f0), r) =>
+            if (FlowControl.successOutcomes(r.getString(1)))
+              (s0 + r.getLong(3), f0) else (s0, f0 + r.getLong(3))
+          }
+          t -> (s, f)
         }
+      val succ = byTag.valuesIterator.map(_._1).sum
+      val fail = byTag.valuesIterator.map(_._2).sum
+
+      // 8. defer ledger update from outcomes (apply_defer semantics:
+      //    notBefore[key] = max(existing, now) + d, in round units).
+      //    Engine mode also honors Fail as a per-tag kill switch
+      //    (reference apply_abort is a documented no-op, runner.rs:308-323)
+      if (cfg.enforceDefer || cfg.enforceAbort) {
+        outcomeRows
+          .filter(r => r.getLong(4) > 0 || r.getString(1) == "fail")
+          .foreach { r =>
+            val tag = tagOf(r)
+            val isFail = r.getString(1) == "fail"
+            val q = r.getString(2)
+            val dRounds = math.max(1,
+              math.ceil(r.getLong(4).toDouble / cfg.msPerRound).toInt)
+            // TagQuery resolution (flow_control.rs:36-53, is_match :55-65):
+            // Owner / Single / Every / List — a list query expands to one
+            // ledger key per member (F10; "list:a,b" encoding, SURVEY §1.1)
+            val keys: Seq[String] = q match {
+              case "every" => Seq("__every__")
+              case s if s != null && s.startsWith("single:") =>
+                Seq(s.stripPrefix("single:"))
+              case s if s != null && s.startsWith("list:") =>
+                s.stripPrefix("list:").split(",").toSeq.filter(_.nonEmpty)
+              case _ => // owner; null tag (Fallback) never matches: skip
+                if (tag != null) Seq(tag) else Seq.empty
+            }
+            keys.foreach { key =>
+              if (isFail && cfg.enforceAbort)
+                deferLedger += key -> Int.MaxValue // permanent kill
+              else if (!isFail && cfg.enforceDefer) {
+                val base = math.max(deferLedger.getOrElse(key, round), round)
+                deferLedger += key -> (base + dRounds)
+              }
+            }
+          }
       }
 
       // 11. manifest commit (includes both politeness ledgers: resume must
@@ -797,6 +860,15 @@ object CrawlEngine {
       // watcher cancelled. Anything that fails while the stop signal is
       // NOT set is a real error and propagates.
       case _: Throwable if cfg.cancelMidRound && stopSignal() =>
+        // drain the concurrent stage FIRST: a straggler sink job must not
+        // race the round-dir delete below (or the resumed crawl's
+        // overwrite). The watcher is still live and keeps cancelling the
+        // job group, so these awaits terminate promptly; failures
+        // (cancelled jobs) are expected and ignored.
+        inflight.foreach { f =>
+          scala.util.Try(scala.concurrent.Await.ready(f,
+            scala.concurrent.duration.Duration(60, "s")))
+        }
         pinned.foreach(_.unpersist(blocking = false))
         pinned = None
         theFetcher.endRound()

@@ -38,26 +38,31 @@ object TableIO {
     val path = s"$dir/$name/round=$round"
     val bucketed = df.withColumn("_bucket",
       pmod(col(hashCol), lit(buckets.toLong)).cast("int"))
+    if (!withStats) {
+      // row count via an Observation collected by the WRITE job itself —
+      // zero extra actions (the old footer-count read-back was one more
+      // job per table per round, a pure serial-floor cost at 10^4-round
+      // crawls; the full stats read-back below stays opt-in)
+      val obs = org.apache.spark.sql.Observation()
+      bucketed.observe(obs, count(lit(1)).as("rows"))
+        .repartition(buckets, col("_bucket"))
+        .write.mode("overwrite").parquet(path)
+      return TableStat(name, obs.get("rows").asInstanceOf[Long], Seq.empty)
+    }
     bucketed
       .repartition(buckets, col("_bucket"))
       .write.mode("overwrite").parquet(path)
     val back = df.sparkSession.read.parquet(path)
-    if (!withStats) {
-      // metadata-only count (parquet footers) — the full stats read-back
-      // doubles round I/O, unjustifiable at 10^10-row rounds
-      TableStat(name, back.count(), Seq.empty)
-    } else {
-      val rowHash = xxhash64(back.columns.filterNot(_ == "_bucket")
-        .sorted.map(col).toIndexedSeq: _*)
-      val stats = back
-        .select(col("_bucket"), rowHash.as("_h"))
-        .groupBy(col("_bucket"))
-        .agg(count(lit(1)).as("rows"), expr("bit_xor(_h)").as("ch"))
-        .collect()
-        .map(r => PartStat(r.getInt(0), r.getLong(1), r.getLong(2)))
-        .toSeq.sortBy(_.bucket)
-      TableStat(name, stats.map(_.rows).sum, stats)
-    }
+    val rowHash = xxhash64(back.columns.filterNot(_ == "_bucket")
+      .sorted.map(col).toIndexedSeq: _*)
+    val stats = back
+      .select(col("_bucket"), rowHash.as("_h"))
+      .groupBy(col("_bucket"))
+      .agg(count(lit(1)).as("rows"), expr("bit_xor(_h)").as("ch"))
+      .collect()
+      .map(r => PartStat(r.getInt(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_.bucket)
+    TableStat(name, stats.map(_.rows).sum, stats)
   }
 
   /** Write without the stats read-back (for sink tables whose row counts

@@ -174,6 +174,11 @@ object FlowControl {
     }
   }
 
+  /** The Metric-middleware success set (metric.rs:126-155) — one
+    * definition for the Column predicate and the driver-side fold.
+    */
+  val successOutcomes: Set[String] = Set("continue", "wait")
+
   def isSuccess(outcome: Column): Column =
-    outcome.isin("continue", "wait")
+    outcome.isin(successOutcomes.toSeq: _*)
 }
