@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.canon.{Canon, UrlTraps}
 import graft.dedup.Seen
-import graft.engine.{CrawlEngine, Recrawl, Redirects}
+import graft.engine.{ContinuousCrawl, CrawlEngine, Recrawl, Redirects}
 import graft.model.{CrawlConfig, RobotsRule, Seed}
 import graft.politeness.Politeness
 import graft.router.{FlowControl, Handler, Router}
@@ -85,8 +85,12 @@ object SparkEntry {
 
   /** documents as an interleaved-docs corpus: one text span (the real
     * text), media span for long docs, plus the 3 link spans.
+    * `textOf` lets continuous-crawl queries version the content per
+    * epoch (the title IS the text span, so a changed text is a change
+    * observation for [[Recrawl.changeStats]]).
     */
-  private def docsAsCorpus(spark: SparkSession, dir: String): DataFrame = {
+  private def docsAsCorpus(spark: SparkSession, dir: String,
+      textOf: Column => Column = identity): DataFrame = {
     val d = documents(spark, dir)
     val n = d.count()
     val id = col("doc_id")
@@ -97,7 +101,7 @@ object SparkEntry {
         lit(ix + 2).cast("int").as("offset"))
     }: _*)
     val base = array(
-      struct(lit("text").as("kind"), col("text").as("text"),
+      struct(lit("text").as("kind"), textOf(col("text")).as("text"),
         lit(null).cast("string").as("media_ref"), lit(0).as("offset")),
       struct(lit("media").as("kind"), lit("alt").as("text"),
         concat(lit("m://"), id.cast("string")).as("media_ref"),
@@ -175,6 +179,89 @@ object SparkEntry {
         .select(urlOf(i).as("src"),
           urlOf(when(i % 8 =!= 0, i - 1).otherwise(i + 7)).as("dst"))
       Redirects.resolve(edges, maxHops = 4).orderBy("url")
+    }),
+
+    // 3xx semantics INSIDE the engine loop (continuous-crawl tier):
+    // clean pages form a ternary tree (node i links to 3i+1..3i+3, so
+    // every page has exactly one discovery path and an unambiguous
+    // depth); odd link targets hide behind 1-hop alias chains, targets
+    // % 4 == 3 behind 2-hop chains. Phase 1 crawls cold — chains are
+    // discovered hop-per-round as 301 fetches. Phase 2 re-crawls with
+    // phase 1's redirect-edge ledger warm-started: every chain rewrites
+    // to its final target BEFORE scheduling (Redirects.resolve pointer
+    // doubling), so phase 2's trace has ZERO 3xx rows.
+    "q_redirect_crawl" -> ((s, dir) => {
+      import s.implicits._
+      val n = documents(s, dir).count()
+      def cleanR(c: Column) = concat(lit("http://t"), (c % 3).cast("string"),
+        lit(".test/c/"), c.cast("string"))
+      def a1(c: Column) = concat(lit("http://a.test/a/"), c.cast("string"))
+      def a2(c: Column) = concat(lit("http://b.test/b/"), c.cast("string"))
+      def tgt(c: Column) = when(c % 4 === 3, a2(c))
+        .when(c % 2 === 1, a1(c)).otherwise(cleanR(c))
+      val spansT =
+        "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+      val ids = documents(s, dir).select(col("doc_id").as("i"))
+      val i = col("i")
+      val kids = filter(array(i * 3 + 1, i * 3 + 2, i * 3 + 3), k => k < n)
+      val cleanRows = ids.select(
+        cleanR(i).as("doc_id"),
+        transform(kids, (k, ix) => struct(lit("link").as("kind"),
+          concat(lit("anchor"), ix.cast("string")).as("text"),
+          tgt(k).as("media_ref"), ix.cast("int").as("offset"))).as("spans"),
+        lit(null).cast("string").as("redirect_to"))
+      val alias1Rows = ids.filter(i % 2 === 1).select(a1(i).as("doc_id"),
+        lit(null).cast(spansT).as("spans"), cleanR(i).as("redirect_to"))
+      val alias2Rows = ids.filter(i % 4 === 3).select(a2(i).as("doc_id"),
+        lit(null).cast(spansT).as("spans"), a1(i).as("redirect_to"))
+      val corpus = cleanRows.unionByName(alias1Rows).unionByName(alias2Rows)
+      val cfgR = CrawlConfig(maxRounds = 12, maxDepth = 3,
+        frontierPartitions = 8, useBloomPrefilter = false,
+        followRedirects = true)
+      val router = Router(Map.empty, fallback = Handler.linkFollower())
+      val seeds = Seq(Seed("http://t0.test/c/0", null, 0))
+      val w1 = java.nio.file.Files.createTempDirectory("graft-rc1").toString
+      val cold = CrawlEngine.run(s, corpus, seeds,
+        s.emptyDataset[RobotsRule], router, cfgR, w1)
+      val w2 = java.nio.file.Files.createTempDirectory("graft-rc2").toString
+      val warm = CrawlEngine.run(s, corpus, seeds,
+        s.emptyDataset[RobotsRule], router, cfgR, w2,
+        initialRedirects = cold.redirectEdges(s))
+      def phase(r: CrawlEngine.RunResult, p: Int) = r.trace(s)
+        .select(lit(p).as("phase"), col("canonical").as("url"),
+          col("status"), col("depth"))
+      phase(cold, 1).unionByName(phase(warm, 2)).orderBy("phase", "url")
+    }),
+
+    // continuous-crawl epochs end-to-end (ContinuousCrawl.runEpochs):
+    // epoch 0 discovers from seeds; epoch 1 revisits top-1 per host
+    // (all priorities 0 -> url order); docs with doc_id % 3 == 0 change
+    // text every epoch, so epoch 2's revisit priority is driven by the
+    // OBSERVED change between epochs 0 and 1 (Cho & Garcia-Molina
+    // estimator). Output: epoch-2 revisit schedule joined to what epoch
+    // 2 actually fetched (title proves the epoch-2 corpus was read).
+    "q_recrawl_e2e" -> ((s, dir) => {
+      import s.implicits._
+      def corpusV(e: Int) = docsAsCorpus(s, dir,
+        t => when(col("doc_id") % 3 === 0, concat(t, lit("#" + e)))
+          .otherwise(t))
+      val work = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+      val cfg = CrawlConfig(maxRounds = 2, maxDepth = 2,
+        frontierPartitions = 8, useBloomPrefilter = false)
+      val router = Router(Map.empty, fallback = Handler.linkFollower())
+      val seeds = (0 until 6).map(j => Seed(s"http://s$j.test/d/$j", null, j))
+      val rs = ContinuousCrawl.runEpochs(s, corpusV, seeds,
+        s.emptyDataset[RobotsRule], router, cfg, work,
+        epochs = 3, revisitPerHost = 1,
+        revisitCfg = Some(cfg.copy(maxRounds = 1)))
+      val hist = Recrawl.historyFromRecords(
+        Seq((rs(0).records(s), 0L), (rs(1).records(s), 1L)))
+      val sched = Recrawl.scheduleRevisits(Recrawl.changeStats(hist, 2L), 1)
+      sched.join(rs(2).records(s).select(col("url").as("_u"), col("title")),
+          col("url") === col("_u"))
+        .select(col("url"), col("visits"), col("changes"), col("staleness"),
+          col("priority_milli"), col("revisit_rank"), col("title"))
+        .orderBy("url")
     }),
 
     // crawler-trap screening (UrlTraps): generated URLs with known
@@ -813,6 +900,88 @@ object SparkEntry {
                 (r.src IS NULL) AS looped
          FROM e LEFT JOIN res r ON r.src = e.src
          ORDER BY url""",
+
+    // effective ternary tree bounded at depth 3: the 200 rows are the
+    // tree's clean pages in BOTH phases; the 301 rows (aliases, fetched
+    // at the depth of the link that introduced them) exist in phase 1
+    // only — phase 2's warm-started ledger pre-resolves every chain.
+    "q_redirect_crawl" ->
+      """WITH RECURSIVE tree(id, d) AS (
+           SELECT CAST(0 AS BIGINT) AS id, 1 AS d
+           UNION ALL
+           SELECT t.id * 3 + k.k, t.d + 1
+           FROM tree t CROSS JOIN (VALUES (1), (2), (3)) k(k)
+           WHERE t.d < 3
+             AND t.id * 3 + k.k < (SELECT count(*) FROM documents)),
+         oks AS (
+           SELECT concat('http://t', CAST(id % 3 AS VARCHAR), '.test/c/',
+                    CAST(id AS VARCHAR)) AS url,
+                  200 AS status, d FROM tree),
+         redirs AS (
+           SELECT concat('http://a.test/a/', CAST(id AS VARCHAR)) AS url,
+                  301 AS status, d
+           FROM tree WHERE d >= 2 AND id % 2 = 1
+           UNION ALL
+           SELECT concat('http://b.test/b/', CAST(id AS VARCHAR)),
+                  301, d
+           FROM tree WHERE d >= 2 AND id % 4 = 3)
+         SELECT phase, url, CAST(status AS INT) AS status,
+                CAST(d AS INT) AS depth
+         FROM (SELECT 1 AS phase, * FROM oks
+               UNION ALL SELECT 1, * FROM redirs
+               UNION ALL SELECT 2, * FROM oks)
+         ORDER BY phase, url""",
+
+    // epoch 0 = seeds 0..5 + their link targets; epoch 1 = top-1 per
+    // host by url (priorities all 0 after one visit); epoch 2 stats from
+    // the two visits: docs with doc_id % 3 = 0 changed between epochs
+    // (title '#0' -> '#1'), so changes=1 iff revisited and % 3 = 0.
+    "q_recrawl_e2e" -> {
+      val n = "(SELECT count(*) FROM documents)"
+      val kids = edgeMults.map { case (m, a) =>
+        s"SELECT (id * $m + $a) % $n AS id FROM seedids"
+      }.mkString(" UNION ALL ")
+      s"""WITH seedids AS (
+            SELECT CAST(doc_id AS BIGINT) AS id FROM documents
+            WHERE doc_id < 6),
+          v0 AS (
+            SELECT DISTINCT id FROM
+              (SELECT id FROM seedids UNION ALL $kids)),
+          u0 AS (
+            SELECT id, ${cleanUrlSql("id")} AS url,
+                   CAST(id % 20 AS VARCHAR) AS host FROM v0),
+          v1 AS (
+            SELECT id FROM (
+              SELECT id, row_number() OVER
+                (PARTITION BY host ORDER BY url) AS rk FROM u0)
+            WHERE rk = 1),
+          st AS (
+            SELECT u0.id, u0.url, u0.host,
+              CASE WHEN v1.id IS NOT NULL THEN 2 ELSE 1 END AS visits,
+              CASE WHEN v1.id IS NOT NULL AND u0.id % 3 = 0
+                   THEN 1 ELSE 0 END AS changes,
+              CASE WHEN v1.id IS NOT NULL THEN 1 ELSE 2 END AS staleness
+            FROM u0 LEFT JOIN v1 ON u0.id = v1.id),
+          r2 AS (
+            SELECT *,
+              (changes * staleness * 1000)
+                // GREATEST(visits - 1, 1) AS priority_milli,
+              row_number() OVER (PARTITION BY host ORDER BY
+                (changes * staleness * 1000) // GREATEST(visits - 1, 1)
+                  DESC,
+                staleness DESC, url) AS revisit_rank
+            FROM st)
+          SELECT r2.url, CAST(visits AS BIGINT) AS visits,
+                 CAST(changes AS BIGINT) AS changes,
+                 CAST(staleness AS BIGINT) AS staleness,
+                 CAST(priority_milli AS BIGINT) AS priority_milli,
+                 CAST(revisit_rank AS INT) AS revisit_rank,
+                 concat(d.text,
+                   CASE WHEN r2.id % 3 = 0 THEN '#2' ELSE '' END) AS title
+          FROM r2 JOIN documents d ON d.doc_id = r2.id
+          WHERE revisit_rank <= 1
+          ORDER BY url"""
+    },
 
     "q_url_traps" ->
       """SELECT doc_id,

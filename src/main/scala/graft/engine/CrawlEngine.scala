@@ -42,7 +42,7 @@ import graft.router.{FlowControl, Router}
 object CrawlEngine {
 
   /** Candidate (pre-schedule) frontier columns. */
-  private val candCols = Seq(
+  private[engine] val candCols = Seq(
     "url", "canonical", "urlHash", "host", "tag", "depth", "priority",
     "discoveryRound", "parentSeq", "emissionIdx", "path")
 
@@ -88,6 +88,17 @@ object CrawlEngine {
       spark.read.parquet(roundDirs("trace"): _*).drop("_bucket")
     def records(spark: SparkSession): DataFrame =
       spark.read.parquet(roundDirs("records"): _*).drop("_bucket")
+    /** (src, dst) redirect edges this crawl discovered (followRedirects),
+      * None when the crawl saw no 3xx — feed into the next epoch's
+      * `initialRedirects` so known chains cost zero fetches there.
+      */
+    def redirectEdges(spark: SparkSession): Option[DataFrame] = {
+      val base = java.nio.file.Paths.get(workDir, "redirects")
+      if (!java.nio.file.Files.isDirectory(base)) None
+      else Some(spark.read.parquet(roundDirs("redirects"): _*)
+        .select(org.apache.spark.sql.functions.col("src"),
+          org.apache.spark.sql.functions.col("dst")))
+    }
   }
 
   /** Canonicalize seeds into candidate rows. Seeds enter in REVERSE
@@ -238,7 +249,20 @@ object CrawlEngine {
         * are the engine's atomic unit — mid-round state is never exposed,
         * which is what makes "stop anywhere, resume exactly" possible.
         */
-      stopSignal: () => Boolean = () => false
+      stopSignal: () => Boolean = () => false,
+      /** Seed the crawl from a CANDIDATE DataFrame (candCols shape)
+        * instead of a driver-side Seq[Seed] — the continuous-crawl tier's
+        * entry: a revisit frontier can be 10^9 rows and must never pass
+        * through the driver. Ignored when resumeState is set; `seeds` is
+        * ignored when this is set.
+        */
+      seedFrontier: Option[DataFrame] = None,
+      /** Warm-start redirect edges (src, dst) from a PRIOR crawl of the
+        * same URL space: with followRedirects on, known chains rewrite
+        * candidates to their final targets from round 0 — zero fetches
+        * spent re-walking chains the last epoch already discovered.
+        */
+      initialRedirects: Option[DataFrame] = None
   ): RunResult = {
     import spark.implicits._
     // default = scale-safe co-located fetch (round-2 verdict #1): bucketed
@@ -277,6 +301,7 @@ object CrawlEngine {
     }
 
     var frontier = resumeState.map(_.frontier)
+      .orElse(seedFrontier)
       .getOrElse(seedCandidates(spark, seeds, cfg.lifo))
     var seen = resumeState.map(_.seen).getOrElse(
       spark.emptyDataset[SeenEntry].toDF())
@@ -386,6 +411,42 @@ object CrawlEngine {
         math.max(nextSeq / cfg.bloomShards, 1000L))))
     }
 
+    // redirect-edge ledger (followRedirects): discovered (src -> dst)
+    // edges live as durable "redirects" round deltas; the RESOLVED map
+    // (src -> final target | looped) is rebuilt lazily at the next round
+    // start whenever edges changed — log-hop pointer doubling
+    // ([[Redirects.resolve]]), never per-hop iteration. A resumed crawl
+    // (or a warm start via `initialRedirects`) rebuilds from what exists.
+    var redirectMap: Option[DataFrame] = None
+    var redirectDeltasThrough: Int =
+      if (cfg.followRedirects && resuming &&
+          java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(s"$workDir/redirects")))
+        TableIO.latestCompletedRound(workDir)
+      else -1
+    var redirectsDirty: Boolean = cfg.followRedirects &&
+      (initialRedirects.nonEmpty || redirectDeltasThrough >= 0)
+    def rebuildRedirectMap(): Unit = {
+      redirectMap.foreach(_.unpersist(blocking = false))
+      val stored =
+        if (redirectDeltasThrough >= 0)
+          Some(TableIO.readDeltas(spark, workDir, "redirects",
+            redirectDeltasThrough).select(col("src"), col("dst")))
+        else None
+      val all = (initialRedirects.map(_.select(col("src"), col("dst")))
+        .toSeq ++ stored.toSeq).reduceOption(_.unionByName(_))
+      redirectMap = all.map { e =>
+        // one outgoing edge per src (resolve's contract); max() makes the
+        // pick deterministic if observations ever disagree
+        val edges = e.groupBy(col("src")).agg(max(col("dst")).as("dst"))
+        Redirects.resolve(edges, cfg.redirectMaxHops)
+          .select(col("url").as("_rsrc"), col("final_url").as("_rfin"),
+            col("looped").as("_rloop"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      redirectsDirty = false
+    }
+
     // politeness fast path: when every budget is effectively unbounded the
     // per-host window rank is a no-op — skip the per-host shuffle+sort
     // (the hot host would otherwise sort all its rows in one task per
@@ -448,14 +509,32 @@ object CrawlEngine {
                   col("tag").isin(blockedTags: _*)))
         } else (frontier, frontier.limit(0))
 
+      // 1.3 redirect rewrite (followRedirects): candidates whose canonical
+      //     is a KNOWN redirect source jump straight to the chain's final
+      //     target — before dedup (so they dedup against the target) and
+      //     before politeness (the slot is charged to the FINAL host).
+      //     Known cycles / over-cap chains are dropped: unfetchable.
+      if (cfg.followRedirects && redirectsDirty) rebuildRedirectMap()
+      val eligible0r = redirectMap match {
+        case Some(rm) if cfg.followRedirects =>
+          eligible0.join(rm, col("canonical") === col("_rsrc"), "left")
+            .filter(col("_rloop").isNull || !col("_rloop"))
+            .withColumn("canonical",
+              coalesce(col("_rfin"), col("canonical")))
+            .drop("_rsrc", "_rfin", "_rloop")
+            .withColumn("urlHash", Canon.urlHash(col("canonical")))
+            .withColumn("host", Canon.host(col("canonical")))
+        case _ => eligible0
+      }
+
       // 1.5 structural trap screen (opt-in, NOT a reference behavior —
       //     golden traces run with it off): machine-generated URL shapes
       //     ([[graft.canon.UrlTraps]]) are dropped BEFORE they cost bloom
       //     probes, seen anti-join work or a politeness slot. Dropped,
       //     never deferred — a trap URL cannot become fetchable later.
       val eligible0s =
-        if (!cfg.trapScreen) eligible0
-        else eligible0.filter(!UrlTraps.isTrap(col("canonical"),
+        if (!cfg.trapScreen) eligible0r
+        else eligible0r.filter(!UrlTraps.isTrap(col("canonical"),
           cfg.trapMaxRun, cfg.trapMaxDepth, cfg.trapMaxParams))
 
       // 2. dedup: bloom prefilter (fast negatives, per-shard broadcast)
@@ -536,18 +615,41 @@ object CrawlEngine {
       //    deterministic join against docs). `fetched` feeds several
       //    downstream actions (trace, records, children, metrics); persist
       //    it so the corpus is scanned exactly ONCE per round.
-      val fetched = theFetcher.fetch(scheduledBack, scheduledCount)
+      val fetchedRaw = theFetcher.fetch(scheduledBack, scheduledCount)
+      val fetched = (if (fetchedRaw.columns.contains("location")) fetchedRaw
+        else fetchedRaw.withColumn("location", lit(null).cast("string")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       pinned = Some(fetched)
 
-      // 6. route through handlers -> children + outcome columns
+      // 6. route through handlers -> children + outcome columns. A 3xx
+      //    with followRedirects emits its Location as ONE non-branching
+      //    child (depth inherited — a redirect is not a link hop) and
+      //    counts as success; the chain advances a hop per round as each
+      //    hop is discovered, and step 1.3 short-circuits any chain the
+      //    edge ledger already knows.
+      val isRedirect = col("status") >= 300 && col("status") <= 399 &&
+        col("location").isNotNull
+      val nonOkChildren =
+        if (!cfg.followRedirects) graft.router.Handler.noChildren
+        else when(isRedirect, array(struct(
+            col("location").as("url"),
+            lit(null).cast("string").as("tag"),
+            lit(false).as("branch"),
+            lit(0).cast("int").as("emissionIdx"),
+            col("priority").cast("int").as("priority"))))
+          .otherwise(graft.router.Handler.noChildren)
+      val nonOkOutcome = {
+        val hold = FlowControl.mk(lit("hold"), lit("owner"), lit(0L))
+        if (!cfg.followRedirects) hold
+        else when(isRedirect, FlowControl.continueOutcome).otherwise(hold)
+      }
       val routed = router(fetched)
         .withColumn("children",
           when(col("status") === 200, col("children"))
-            .otherwise(graft.router.Handler.noChildren))
+            .otherwise(nonOkChildren))
         .withColumn("outcome",
           when(col("status") === 200, col("outcome"))
-            .otherwise(FlowControl.mk(lit("hold"), lit("owner"), lit(0L))))
+            .otherwise(nonOkOutcome))
 
       // 6.5 ONE aggregation pass carries all per-round driver facts —
       // per-tag metrics (full Metric-middleware semantics,
@@ -742,6 +844,22 @@ object CrawlEngine {
             .select(col("host")).distinct().collect()
             .map(_.getString(0))))(sinkEc))
         else scala.concurrent.Future.successful(Array.empty[String])
+      // redirect-edge delta (followRedirects): this round's discovered
+      // (src -> dst) hops, durably checkpointed like seen; rows>0 marks
+      // the resolved map dirty for the next round start
+      val fRedir: scala.concurrent.Future[Long] =
+        if (cfg.followRedirects && scheduledCount > 0)
+          track(scala.concurrent.Future(inGroup {
+            val edges = routed.filter(isRedirect)
+              .select(col("canonical").as("src"),
+                Canon.canonicalize(col("location")).as("dst"))
+              .filter(col("dst").isNotNull)
+              .withColumn("_srcHash", xxhash64(col("src")))
+            TableIO.writeRound(edges, workDir, "redirects", round,
+              "_srcHash", bucketsFor(scheduledCount),
+              withStats = false).rows
+          })(sinkEc))
+        else scala.concurrent.Future.successful(0L)
 
       // ---- the round's ONE barrier ----
       import scala.concurrent.duration.Duration
@@ -772,6 +890,11 @@ object CrawlEngine {
       scala.concurrent.Await.result(fHostsHit, Duration.Inf).foreach { h =>
         val base = math.max(hostNotBefore.getOrElse(h, round), round)
         hostNotBefore += h -> (base + delayRounds(h))
+      }
+      if (cfg.followRedirects && scheduledCount > 0) {
+        redirectDeltasThrough = round
+        if (scala.concurrent.Await.result(fRedir, Duration.Inf) > 0L)
+          redirectsDirty = true
       }
 
       // driver fold of the outcome aggregate — columns: tag, o(utcome),
@@ -886,6 +1009,7 @@ object CrawlEngine {
     }
 
     spark.sparkContext.clearJobGroup()
+    redirectMap.foreach(_.unpersist(blocking = false))
     if (fetcher.isEmpty) theFetcher.close()
     RunResult(round, nextSeq, metrics, workDir, stoppedMidRound = stopped)
   }

@@ -28,6 +28,48 @@ trait Fetcher extends Serializable {
     "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
 }
 
+/** 3xx support shared by the corpus-join fetchers: a corpus row whose
+  * optional `redirect_to` column is non-null models an HTTP redirect —
+  * the fetch surfaces it as `status` [[Fetchers.StatusRedirect]] with the
+  * target in a `location` column (and no spans), exactly the shape a
+  * live HTTP backend would produce. Corpora without the column fetch as
+  * before with `location` null everywhere, so downstream schemas are
+  * uniform.
+  */
+object Fetchers {
+  val StatusRedirect = 301
+  val RedirectCol = "redirect_to"
+
+  def hasRedirects(docs: DataFrame): Boolean =
+    docs.columns.contains(RedirectCol)
+
+  /** Status / spans / location columns for a corpus-join result whose
+    * corpus side kept `_doc_id` (null = miss). Shared by the broadcast
+    * and shuffled paths so 3xx semantics cannot drift between them.
+    */
+  private[engine] def statusAndLocation(joined: DataFrame,
+      spansT: String): DataFrame = {
+    val withStatus =
+      if (joined.columns.contains(RedirectCol))
+        joined.withColumn("status",
+          when(col("_doc_id").isNull, lit(404))
+            .when(col(RedirectCol).isNotNull, lit(StatusRedirect))
+            .otherwise(lit(200)))
+          .withColumn("location",
+            when(col("status") === StatusRedirect, col(RedirectCol)))
+          .drop(RedirectCol)
+      else
+        joined.withColumn("status",
+          when(col("_doc_id").isNull, lit(404)).otherwise(lit(200)))
+          .withColumn("location", lit(null).cast("string"))
+    withStatus
+      .withColumn("spans",
+        when(col("status") === 200, col("spans"))
+          .otherwise(lit(null).cast(spansT)))
+      .drop("_doc_id")
+  }
+}
+
 /** Engine-default fetch selection (round-2 verdict #1: the default fetch
   * path must never re-shuffle the corpus on large rounds).
   */
@@ -95,11 +137,11 @@ class JoinFetcher(docs: DataFrame, broadcastMax: Long = 500000L)
 
   def fetch(scheduled: DataFrame, scheduledCount: Long): DataFrame =
     if (scheduledCount > 0 && scheduledCount < broadcastMax) {
-      val hits = docs.withColumnRenamed("doc_id", "_doc_id")
-        .join(broadcast(scheduled),
-          col("canonical") === col("_doc_id"), "inner")
-        .drop("_doc_id")
-        .withColumn("status", lit(200))
+      val hits = Fetchers.statusAndLocation(
+        docs.withColumnRenamed("doc_id", "_doc_id")
+          .join(broadcast(scheduled),
+            col("canonical") === col("_doc_id"), "inner"),
+        emptySpansT)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       roundCaches += hits
       val misses = scheduled
@@ -107,18 +149,16 @@ class JoinFetcher(docs: DataFrame, broadcastMax: Long = 500000L)
           col("urlHash") === col("_hit"), "left_anti")
         .withColumn("status", lit(404))
         .withColumn("spans", lit(null).cast(emptySpansT))
+        .withColumn("location", lit(null).cast("string"))
       hits.unionByName(misses.select(hits.columns.map(col).toIndexedSeq: _*))
     } else {
       // large round: shuffled join. SHUFFLE_HASH avoids sorting the big
       // docs side (scheduled is the build side per partition).
-      scheduled.hint("SHUFFLE_HASH")
-        .join(docs.withColumnRenamed("doc_id", "_doc_id"),
-          col("canonical") === col("_doc_id"), "left")
-        .withColumn("status",
-          when(col("_doc_id").isNotNull, lit(200)).otherwise(lit(404)))
-        .withColumn("spans",
-          coalesce(col("spans"), lit(null).cast(emptySpansT)))
-        .drop("_doc_id")
+      Fetchers.statusAndLocation(
+        scheduled.hint("SHUFFLE_HASH")
+          .join(docs.withColumnRenamed("doc_id", "_doc_id"),
+            col("canonical") === col("_doc_id"), "left"),
+        emptySpansT)
     }
 }
 
@@ -169,14 +209,11 @@ class BucketedJoinFetcher(
         .bucketBy(buckets, "canonical").sortBy("canonical")
         .format("parquet").saveAsTable(t)
       liveTable = Some((spark, t))
-      spark.table(t)
-        .join(docs.withColumnRenamed("doc_id", "_doc_id"),
-          col("canonical") === col("_doc_id"), "left")
-        .withColumn("status",
-          when(col("_doc_id").isNotNull, lit(200)).otherwise(lit(404)))
-        .withColumn("spans",
-          coalesce(col("spans"), lit(null).cast(emptySpansT)))
-        .drop("_doc_id")
+      Fetchers.statusAndLocation(
+        spark.table(t)
+          .join(docs.withColumnRenamed("doc_id", "_doc_id"),
+            col("canonical") === col("_doc_id"), "left"),
+        emptySpansT)
     }
   }
 }
@@ -240,4 +277,5 @@ class NoopFetcher(succeed: Boolean = true) extends Fetcher {
       .withColumn("status", lit(if (succeed) 200 else 404))
       .withColumn("spans",
         array().cast(emptySpansT))
+      .withColumn("location", lit(null).cast("string"))
 }

@@ -301,7 +301,7 @@ object TableIO {
     require(round > latestCompletedRound(dir),
       s"refusing to delete committed round $round")
     Seq("scheduled", "trace", "records", "frontier", "seen",
-        "hostledger").foreach(deleteTableRound(dir, _, round))
+        "hostledger", "redirects").foreach(deleteTableRound(dir, _, round))
   }
 
   /** Remove one table's `round=<k>` dir (no-op when absent). Used by the

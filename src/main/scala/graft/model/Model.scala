@@ -238,5 +238,22 @@ case class CrawlConfig(
       * a fixed count is wrong at both ends — tiny rounds pay per-file +
       * per-task overhead, huge rounds underpartition. 0 disables
       * (always frontierPartitions). */
-    rowsPerBucket: Long = 250000L
+    rowsPerBucket: Long = 250000L,
+    /** Follow 3xx responses (continuous-crawl tier): a fetch whose corpus
+      * row carries `redirect_to` surfaces as status 301 + `location`;
+      * with this ON the engine (a) emits the location as a non-branching
+      * child (the chain advances one hop per round as each hop is
+      * discovered), (b) records every (src -> dst) redirect edge as a
+      * durable round table, and (c) bulk-resolves the accumulated edges
+      * ([[graft.engine.Redirects.resolve]], pointer doubling) and
+      * REWRITES candidates whose canonical is a known redirect source to
+      * the chain's final target BEFORE dedup/politeness — known chains
+      * cost zero fetches and the politeness slot is charged to the FINAL
+      * host; candidates resolving into a known cycle (or past
+      * redirectMaxHops) are dropped. OFF by default: golden traces are
+      * defined without 3xx semantics. */
+    followRedirects: Boolean = false,
+    /** Client redirect cap for [[followRedirects]] chain resolution
+      * (chains longer than this, and true cycles, are dropped). */
+    redirectMaxHops: Int = 8
 )
