@@ -254,6 +254,95 @@ object StreamOps {
       }
   }
 
+  // ---- streaming FlowControl defer/abort ledger (TagQuery tier) ----
+
+  /** One event on the per-TAG flow-control stream: either a frontier
+    * CANDIDATE asking to proceed (`kind = "cand"`) or a handler OUTCOME
+    * carrying a FlowControl verdict (`kind = "outcome"`, with the
+    * conversion-matrix fields — outcome / deferQuery / deferMs).
+    */
+  case class TagEvent(ts: Timestamp, tag: String, kind: String,
+      url: String, outcome: String, deferQuery: String, deferMs: Long)
+
+  object TagEvent {
+    def cand(ts: Timestamp, tag: String, url: String): TagEvent =
+      TagEvent(ts, tag, "cand", url, null, null, 0L)
+    def outcome(ts: Timestamp, tag: String, outcome: String,
+        deferQuery: String, deferMs: Long): TagEvent =
+      TagEvent(ts, tag, "outcome", null, outcome, deferQuery, deferMs)
+  }
+
+  /** Per-tag ledger state: apply_defer deadline + the Fail kill bit. */
+  case class TagDeferState(notBefore: Long, killed: Boolean)
+
+  /** action in {pass, deferred, killed}. */
+  case class TagDecision(tag: String, url: String, action: String)
+
+  /** The streaming form of the batch engine's per-TAG FlowControl ledger
+    * (CrawlEngine step 8 / reference apply_defer+apply_abort,
+    * runner.rs:289-323): handler outcomes arm a per-tag deadline
+    * (Wait/Hold with deferMs: notBefore = max(existing, now) + d — the
+    * same rule the host delay uses) or a permanent kill (Fail +
+    * abort enforcement), and candidates of that tag are deferred /
+    * killed across micro-batches until the deadline passes.
+    *
+    * TagQuery resolution happens BEFORE the keyed state (one event per
+    * resolved ledger key, flow_control.rs:36-65): Owner -> the outcome's
+    * own tag, Single/List -> the named tags, Every -> every key in
+    * `routerTags` (the router's registered routes — enumerable up front,
+    * unlike the batch driver ledger's single "__every__" key; a null
+    * tag routes to the fallback key ""). Events within a (batch, tag)
+    * group process in (ts, kind, url) order with outcomes first at equal
+    * timestamps — a verdict takes effect for candidates arriving
+    * strictly later.
+    */
+  def deferStream(events: Dataset[TagEvent], routerTags: Seq[String],
+      enforceAbort: Boolean = true): Dataset[TagDecision] = {
+    import events.sparkSession.implicits._
+    val keys = (routerTags :+ "").distinct
+    events
+      .flatMap { e =>
+        def k(t: String) = if (t == null) "" else t
+        if (e.kind != "outcome") Seq(k(e.tag) -> e)
+        else {
+          val resolved: Seq[String] = e.deferQuery match {
+            case "every" => keys
+            case s if s != null && s.startsWith("single:") =>
+              Seq(s.stripPrefix("single:"))
+            case s if s != null && s.startsWith("list:") =>
+              s.stripPrefix("list:").split(",").toSeq.filter(_.nonEmpty)
+            case _ => Seq(k(e.tag))
+          }
+          resolved.map(_ -> e)
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TagDeferState, TagDecision](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (tag, rows, state: GroupState[TagDeferState]) =>
+          var st = state.getOption.getOrElse(TagDeferState(0L, false))
+          val out = rows.map(_._2).toSeq
+            .sortBy(e => (e.ts.getTime, e.kind,
+              Option(e.url).getOrElse("")))
+            .flatMap { e =>
+              if (e.kind == "outcome") {
+                val t = e.ts.getTime
+                if (e.outcome == "fail") {
+                  if (enforceAbort) st = st.copy(killed = true)
+                } else if (e.deferMs > 0L)
+                  st = st.copy(notBefore = math.max(st.notBefore, t) +
+                    e.deferMs)
+                None
+              } else Some(TagDecision(tag, e.url,
+                if (st.killed) "killed"
+                else if (e.ts.getTime < st.notBefore) "deferred"
+                else "pass"))
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Batch-parity version of [[hostRates]] (same plan shape minus the
     * watermark) — used for oracle checks and to keep one definition of
     * the aggregation semantics.

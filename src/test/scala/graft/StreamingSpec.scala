@@ -182,6 +182,49 @@ class StreamingSpec extends SparkTestBase {
     assert(!d2.contains("http://h.test/b"))
   }
 
+  test("FlowControl defer/abort ledger across micro-batches: " +
+      "Wait defers its TagQuery targets, Fail kills permanently") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps.{TagDecision, TagEvent}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[TagEvent]
+    val q = StreamOps.deferStream(src.toDS(),
+        routerTags = Seq("t1", "t2", "t3"))
+      .toDF().writeStream.format("memory").queryName("defer")
+      .outputMode("update").start()
+
+    // batch 1: t1 handler says Wait(single:t1, 60s) at 10:00:00; a Fail
+    // with list:t3 kills t3; t2 untouched
+    src.addData(
+      TagEvent.outcome(ts(0, 0), "t1", "wait", "single:t1", 60000L),
+      TagEvent.outcome(ts(0, 0), "t1", "fail", "list:t3", 0L),
+      TagEvent.cand(ts(0, 30), "t1", "u/a"), // inside the 60s defer
+      TagEvent.cand(ts(0, 30), "t2", "u/b"), // other tag: passes
+      TagEvent.cand(ts(0, 30), "t3", "u/c")) // killed
+    q.processAllAvailable()
+    // batch 2: the defer deadline (10:01:00) has passed for t1; t3 stays
+    // killed across batches; an Every-query Wait then defers ALL tags
+    src.addData(
+      TagEvent.cand(ts(1, 30), "t1", "u/d"), // past deadline: passes
+      TagEvent.cand(ts(1, 30), "t3", "u/e"), // still killed
+      TagEvent.outcome(ts(1, 40), null, "wait", "every", 120000L))
+    q.processAllAvailable()
+    // batch 3: every-defer (armed 10:01:40 + 120s = 10:03:40) blocks t2
+    // and the fallback (null tag) alike
+    src.addData(
+      TagEvent.cand(ts(2, 0), "t2", "u/f"),
+      TagEvent.cand(ts(2, 0), null, "u/g"),
+      TagEvent.cand(ts(4, 0), "t2", "u/h")) // past the every-defer
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("defer").as[TagDecision].collect()
+      .map(d => d.url -> d.action).toMap
+    assert(got == Map(
+      "u/a" -> "deferred", "u/b" -> "pass", "u/c" -> "killed",
+      "u/d" -> "pass", "u/e" -> "killed",
+      "u/f" -> "deferred", "u/g" -> "deferred", "u/h" -> "pass"))
+  }
+
   test("politeness state: notBefore = max(existing, now) + delay per host") {
     val src = events.toDS()
     // batch Dataset through the same mapGroupsWithState logic requires a
