@@ -466,7 +466,12 @@ object CrawlEngine {
       else math.max(1, math.min(cfg.frontierPartitions.toLong,
         (rows + cfg.rowsPerBucket - 1) / cfg.rowsPerBucket)).toInt
 
-    var frontierCount = inGroup(frontier.count())
+    // a fresh seed crawl knows its frontier size on the driver — the
+    // count here is only a loop/sizing input (exact counts land with
+    // each round's write Observation), so skip the extra job
+    var frontierCount =
+      if (resumeState.isEmpty && seedFrontier.isEmpty) seeds.size.toLong
+      else inGroup(frontier.count())
     var stopped = false
     var pinned: Option[DataFrame] = None // persisted fetch, for abort cleanup
     // every concurrent-stage future of the CURRENT round, so the cancel
@@ -602,14 +607,23 @@ object CrawlEngine {
         broadcastOffsets = !bigRound,
         rangeBuckets = if (bigRound) cfg.frontierPartitions else 0,
         roundCaches = Some(seqCaches))
-      val schedStat = TableIO.writeRound(
+      // write WITHOUT the stats read-back: the write is the round's one
+      // serial checkpoint (fetch reads it), but hashing what was written
+      // needn't block the fetch — the read-back rides the concurrent
+      // stage and folds into the manifest at the barrier
+      val schedStat0 = TableIO.writeRound(
         scheduled, workDir, "scheduled", round, "urlHash",
-        bucketsFor(frontierCount), cfg.lineageStats)
+        bucketsFor(frontierCount), withStats = false)
+      val fSchedStats: scala.concurrent.Future[Seq[TableIO.PartStat]] =
+        if (!cfg.lineageStats)
+          scala.concurrent.Future.successful(Seq.empty)
+        else track(scala.concurrent.Future(inGroup(TableIO.bucketStats(
+          spark, TableIO.roundPath(workDir, "scheduled", round))))(sinkEc))
       seqCaches.foreach(_.unpersist(blocking = false))
       // mid-round poll #1: abort before paying the fetch
       if (cfg.cancelMidRound && stopSignal()) throw new MidRoundStop
       val scheduledBack = TableIO.readRound(spark, workDir, "scheduled", round)
-      val scheduledCount = schedStat.rows
+      val scheduledCount = schedStat0.rows
 
       // 5. fetch via the pluggable backend (S6/S7; default JoinFetcher =
       //    deterministic join against docs). `fetched` feeds several
@@ -950,6 +964,8 @@ object CrawlEngine {
 
       // 11. manifest commit (includes both politeness ledgers: resume must
       //     not resurrect killed tags or forget pending defers/delays)
+      val schedStat = schedStat0.copy(
+        parts = scala.concurrent.Await.result(fSchedStats, Duration.Inf))
       val m = RoundMetrics(round, frontierCount, scheduledCount,
         frontStat.rows, seenStat.rows,
         succ, fail, (System.nanoTime() - t0) / 1000000L)

@@ -38,32 +38,41 @@ object TableIO {
     val path = s"$dir/$name/round=$round"
     val bucketed = df.withColumn("_bucket",
       pmod(col(hashCol), lit(buckets.toLong)).cast("int"))
-    if (!withStats) {
-      // row count via an Observation collected by the WRITE job itself —
-      // zero extra actions (the old footer-count read-back was one more
-      // job per table per round, a pure serial-floor cost at 10^4-round
-      // crawls; the full stats read-back below stays opt-in)
-      val obs = org.apache.spark.sql.Observation()
-      bucketed.observe(obs, count(lit(1)).as("rows"))
-        .repartition(buckets, col("_bucket"))
-        .write.mode("overwrite").parquet(path)
-      return TableStat(name, obs.get("rows").asInstanceOf[Long], Seq.empty)
-    }
-    bucketed
-      .repartition(buckets, col("_bucket"))
+    // row count via an Observation collected by the WRITE job itself —
+    // zero extra actions (the old footer-count read-back was one more
+    // job per table per round, a pure serial-floor cost at 10^4-round
+    // crawls). A single-bucket (small-round) write skips the bucketing
+    // Exchange outright: every row is bucket 0, coalesce is narrow.
+    val obs = org.apache.spark.sql.Observation()
+    val observed = bucketed.observe(obs, count(lit(1)).as("rows"))
+    (if (buckets == 1) observed.coalesce(1)
+     else observed.repartition(buckets, col("_bucket")))
       .write.mode("overwrite").parquet(path)
-    val back = df.sparkSession.read.parquet(path)
+    val rows = obs.get("rows").asInstanceOf[Long]
+    if (!withStats) TableStat(name, rows, Seq.empty)
+    else TableStat(name, rows, bucketStats(df.sparkSession, path))
+  }
+
+  /** Per-bucket (rows, content-hash) lineage stats of a WRITTEN round
+    * table — hashes what is on disk. Callable separately from the write
+    * so the engine can take it off the round's serial chain (the
+    * scheduled table's stats overlap the fetch).
+    */
+  def bucketStats(spark: SparkSession, path: String): Seq[PartStat] = {
+    val back = spark.read.parquet(path)
     val rowHash = xxhash64(back.columns.filterNot(_ == "_bucket")
       .sorted.map(col).toIndexedSeq: _*)
-    val stats = back
+    back
       .select(col("_bucket"), rowHash.as("_h"))
       .groupBy(col("_bucket"))
       .agg(count(lit(1)).as("rows"), expr("bit_xor(_h)").as("ch"))
       .collect()
       .map(r => PartStat(r.getInt(0), r.getLong(1), r.getLong(2)))
       .toSeq.sortBy(_.bucket)
-    TableStat(name, stats.map(_.rows).sum, stats)
   }
+
+  def roundPath(dir: String, name: String, round: Int): String =
+    s"$dir/$name/round=$round"
 
   /** Write without the stats read-back (for sink tables whose row counts
     * are already known from the round's aggregates).
@@ -78,9 +87,10 @@ object TableIO {
       rows: Long
   ): TableStat = {
     val path = s"$dir/$name/round=$round"
-    df.withColumn("_bucket",
-        pmod(col(hashCol), lit(buckets.toLong)).cast("int"))
-      .repartition(buckets, col("_bucket"))
+    val bucketed = df.withColumn("_bucket",
+      pmod(col(hashCol), lit(buckets.toLong)).cast("int"))
+    (if (buckets == 1) bucketed.coalesce(1)
+     else bucketed.repartition(buckets, col("_bucket")))
       .write.mode("overwrite").parquet(path)
     TableStat(name, rows, Seq.empty)
   }

@@ -18,7 +18,8 @@ object ScaleProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_PROBE_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -231,6 +232,64 @@ object ScaleProbe {
 
       require(dbl == nv, s"doubling $dbl != naive $nv")
       println(f"""{"probe":"redirects","edges":$n,"max_hops":$maxHops,"resolved":${dbl._1},"looped":${dbl._2},"hops_sum":${dbl._3},"doubling_sec":$secDbl%.1f,"naive_sec":$secNaive%.1f,"speedup":${secNaive / secDbl}%.2f,"cpus":$cpus}""")
+      spark.stop()
+      return
+    }
+
+    // floor mode: the per-round serial driver cost, isolated. A crawl of
+    // TINY rounds (12 seeds, one host, budget 3, 2-round delay -> 8
+    // rounds of <= 3 urls) is ~pure floor: per-round wall + Spark job
+    // count/time via a listener show exactly where the fixed cost sits.
+    if (sys.env.get("SPARK_GRAFT_PROBE_MODE").contains("floor")) {
+      import graft.corpus.Corpus
+      import graft.model.{CrawlConfig, Seed}
+      import graft.router.{Handler, Router}
+      import spark.implicits._
+      import scala.jdk.CollectionConverters._
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val jobMs = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val starts =
+            new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            starts.put(j.jobId, j.time)
+            if (sys.env.get("SPARK_GRAFT_PROBE_JOBDUMP").contains("1"))
+              System.err.println(s"[job ${j.jobId}] stages=" +
+                j.stageInfos.map(si =>
+                  si.name.takeWhile(_ != '\n').take(90)).mkString(" ;; "))
+          }
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            jobs.incrementAndGet()
+            Option(starts.remove(j.jobId)).foreach { s =>
+              jobMs.addAndGet(j.time - s)
+              if (sys.env.get("SPARK_GRAFT_PROBE_JOBDUMP").contains("1"))
+                System.err.println(s"[jobend ${j.jobId}] ${j.time - s}ms")
+            }
+          }
+        })
+      val spec = Corpus.Spec(nDocs = 1000, nHosts = 1, maxLinks = 0)
+      val docs = Corpus.docs(spark, spec)
+      val seeds = (0 until 12).map(j => Seed(Corpus.url(j.toLong, spec),
+        null, j))
+      val robots = Seq(graft.model.RobotsRule(Corpus.hostName(0),
+        Seq.empty, crawlDelayMs = 2000L, hostBudget = 3)).toDS()
+      val cfg = CrawlConfig(maxRounds = 8, maxDepth = 2,
+        msPerRound = 1000L, frontierPartitions = 8,
+        useBloomPrefilter = false)
+      // warm session (codegen, scheduler, parquet) outside the timing
+      spark.range(100000L).selectExpr("sum(id)").collect()
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-floor").toString
+      jobs.set(0); jobMs.set(0L)
+      val t0f = System.nanoTime()
+      val r = graft.engine.CrawlEngine.run(spark, docs, seeds, robots,
+        Router(Map.empty, fallback = Handler.continue), cfg, work)
+      val secs = (System.nanoTime() - t0f) / 1e9
+      val perRound = r.metrics.map(_.wallMs).mkString("[", ",", "]")
+      println(f"""{"probe":"floor","rounds":${r.rounds},"scheduled":${r.totalScheduled},"sec":$secs%.2f,"sec_per_round":${secs / math.max(r.rounds, 1)}%.3f,"spark_jobs":${jobs.get()},"jobs_per_round":${jobs.get().toDouble / math.max(r.rounds, 1)}%.1f,"job_ms_total":${jobMs.get()},"round_wall_ms":$perRound,"cpus":$cpus}""")
       spark.stop()
       return
     }
