@@ -610,10 +610,27 @@ object CrawlEngine {
       // write WITHOUT the stats read-back: the write is the round's one
       // serial checkpoint (fetch reads it), but hashing what was written
       // needn't block the fetch — the read-back rides the concurrent
-      // stage and folds into the manifest at the barrier
-      val schedStat0 = TableIO.writeRound(
-        scheduled, workDir, "scheduled", round, "urlHash",
-        bucketsFor(frontierCount), withStats = false)
+      // stage and folds into the manifest at the barrier. LARGE rounds
+      // offer the checkpoint to the fetcher instead
+      // (CrawlConfig.fusedCheckpointMin): one write in the fetch-join
+      // layout replaces the urlHash checkpoint + the fetcher's own
+      // bucketed rewrite — a redundant full shuffle+write+read of every
+      // heavy round's scheduled table, gone.
+      val fused: Option[(DataFrame, Long)] =
+        if (cfg.fusedCheckpointMin >= 0 && !cfg.lineageStats &&
+            frontierCount >= cfg.fusedCheckpointMin)
+          theFetcher.checkpointScheduled(scheduled,
+            TableIO.roundPath(workDir, "scheduled", round))
+        else None
+      val (schedStat0, scheduledBack) = fused match {
+        case Some((df, rows)) =>
+          (TableIO.TableStat("scheduled", rows, Seq.empty), df)
+        case None =>
+          val st = TableIO.writeRound(
+            scheduled, workDir, "scheduled", round, "urlHash",
+            bucketsFor(frontierCount), withStats = false)
+          (st, TableIO.readRound(spark, workDir, "scheduled", round))
+      }
       val fSchedStats: scala.concurrent.Future[Seq[TableIO.PartStat]] =
         if (!cfg.lineageStats)
           scala.concurrent.Future.successful(Seq.empty)
@@ -622,7 +639,6 @@ object CrawlEngine {
       seqCaches.foreach(_.unpersist(blocking = false))
       // mid-round poll #1: abort before paying the fetch
       if (cfg.cancelMidRound && stopSignal()) throw new MidRoundStop
-      val scheduledBack = TableIO.readRound(spark, workDir, "scheduled", round)
       val scheduledCount = schedStat0.rows
 
       // 5. fetch via the pluggable backend (S6/S7; default JoinFetcher =

@@ -16,6 +16,19 @@ trait Fetcher extends Serializable {
     */
   def fetch(scheduled: DataFrame, scheduledCount: Long): DataFrame
 
+  /** Fuse the round's scheduled CHECKPOINT with the fetch-side layout:
+    * durably write `scheduled` under `path` in exactly the layout
+    * [[fetch]] joins zero-Exchange against, and return the read-back
+    * plus its exact row count. The engine offers this for large rounds
+    * (CrawlConfig.fusedCheckpointMin) so the scheduled table is
+    * shuffled+written ONCE instead of twice (engine checkpoint by
+    * urlHash, then the fetcher's own bucketed rewrite — measured as a
+    * full redundant shuffle+write+read of every heavy round's frontier
+    * slice). None (the default) keeps the engine's TableIO checkpoint.
+    */
+  def checkpointScheduled(scheduled: DataFrame,
+      path: String): Option[(DataFrame, Long)] = None
+
   /** Called by the engine at end-of-round; release per-round resources. */
   def endRound(): Unit = {}
 
@@ -96,7 +109,11 @@ object Fetcher {
     * filters, projections — would not be bucket-layout-preserving in
     * general, so detection stays conservative).
     */
-  def bucketedTableOf(docs: DataFrame): Option[(String, Int)] = {
+  def bucketedTableOf(docs: DataFrame): Option[(String, Int)] =
+    bucketedTableOn(docs, "doc_id")
+
+  /** Generalized form: table scan bucketed on exactly `bucketCol`. */
+  def bucketedTableOn(df: DataFrame, bucketCol: String): Option[(String, Int)] = {
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     @scala.annotation.tailrec
@@ -104,12 +121,12 @@ object Fetcher {
       case s: SubqueryAlias => strip(s.child)
       case o => o
     }
-    strip(docs.queryExecution.analyzed) match {
+    strip(df.queryExecution.analyzed) match {
       case l: LogicalRelation =>
         for {
           ct <- l.catalogTable
           bs <- ct.bucketSpec
-          if bs.bucketColumnNames == Seq("doc_id")
+          if bs.bucketColumnNames == Seq(bucketCol)
         } yield (ct.identifier.unquotedString, bs.numBuckets)
       case _ => None
     }
@@ -191,9 +208,31 @@ class BucketedJoinFetcher(
   override def endRound(): Unit = {
     if (small != null) { small.endRound(); small = null }
     // the round's outputs are durably checkpointed before endRound(), so
-    // nothing reads this round's scheduled table again
+    // nothing reads this round's scheduled table again. (A fused
+    // checkpoint is an EXTERNAL table: the drop releases the catalog
+    // entry, the round dir's files stay durable.)
     liveTable.foreach { case (s, t) => s.sql(s"DROP TABLE IF EXISTS $t") }
     liveTable = None
+  }
+
+  /** The fused round checkpoint (see [[Fetcher.checkpointScheduled]]):
+    * ONE shuffle+write puts the scheduled table durably at `path` in the
+    * exact bucketed-on-canonical layout the large-round join needs —
+    * [[fetch]] then detects the layout and joins with zero Exchanges on
+    * either side, instead of re-bucketing what the engine just wrote.
+    */
+  override def checkpointScheduled(scheduled: DataFrame,
+      path: String): Option[(DataFrame, Long)] = {
+    val spark = scheduled.sparkSession
+    roundN += 1
+    val t = s"${schedTable}_ckpt_$roundN"
+    val obs = org.apache.spark.sql.Observation()
+    scheduled.observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite").option("path", path)
+      .bucketBy(buckets, "canonical").sortBy("canonical")
+      .format("parquet").saveAsTable(t)
+    liveTable = Some((spark, t))
+    Some((spark.table(t), obs.get("rows").asInstanceOf[Long]))
   }
 
   def fetch(scheduled: DataFrame, scheduledCount: Long): DataFrame = {
@@ -203,16 +242,21 @@ class BucketedJoinFetcher(
       small = new JoinFetcher(docs, broadcastMax)
       small.fetch(scheduled, scheduledCount)
     } else {
-      roundN += 1
-      val t = s"${schedTable}_$roundN"
-      scheduled.write.mode("overwrite")
-        .bucketBy(buckets, "canonical").sortBy("canonical")
-        .format("parquet").saveAsTable(t)
-      liveTable = Some((spark, t))
+      val sched = Fetcher.bucketedTableOn(scheduled, "canonical") match {
+        // already in the join layout (fused checkpoint): no rewrite
+        case Some((_, n)) if n == buckets => scheduled
+        case _ =>
+          roundN += 1
+          val t = s"${schedTable}_$roundN"
+          scheduled.write.mode("overwrite")
+            .bucketBy(buckets, "canonical").sortBy("canonical")
+            .format("parquet").saveAsTable(t)
+          liveTable = Some((spark, t))
+          spark.table(t)
+      }
       Fetchers.statusAndLocation(
-        spark.table(t)
-          .join(docs.withColumnRenamed("doc_id", "_doc_id"),
-            col("canonical") === col("_doc_id"), "left"),
+        sched.join(docs.withColumnRenamed("doc_id", "_doc_id"),
+          col("canonical") === col("_doc_id"), "left"),
         emptySpansT)
     }
   }
@@ -251,20 +295,30 @@ class AutoBucketJoinFetcher(
     }
   }
 
+  private def ensureBucketed(): BucketedJoinFetcher = {
+    if (bucketed == null) {
+      docs.write.mode("overwrite")
+        .bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .format("parquet").saveAsTable(tableName)
+      bucketed = new BucketedJoinFetcher(tableName, buckets, broadcastMax,
+        schedTable = s"${tableName}_sched")
+    }
+    bucketed
+  }
+
+  /** Fused checkpoint for large rounds (the engine offers it before the
+    * fetch): also the trigger for the one-time bucketed corpus copy, so
+    * the first large round fuses too.
+    */
+  override def checkpointScheduled(scheduled: DataFrame,
+      path: String): Option[(DataFrame, Long)] =
+    ensureBucketed().checkpointScheduled(scheduled, path)
+
   def fetch(scheduled: DataFrame, scheduledCount: Long): DataFrame =
     if (scheduledCount > 0 && scheduledCount < broadcastMax) {
       small = new JoinFetcher(docs, broadcastMax)
       small.fetch(scheduled, scheduledCount)
-    } else {
-      if (bucketed == null) {
-        docs.write.mode("overwrite")
-          .bucketBy(buckets, "doc_id").sortBy("doc_id")
-          .format("parquet").saveAsTable(tableName)
-        bucketed = new BucketedJoinFetcher(tableName, buckets, broadcastMax,
-          schedTable = s"${tableName}_sched")
-      }
-      bucketed.fetch(scheduled, scheduledCount)
-    }
+    } else ensureBucketed().fetch(scheduled, scheduledCount)
 }
 
 /** Test double (reference Noop backend,

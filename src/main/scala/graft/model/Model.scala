@@ -239,6 +239,15 @@ case class CrawlConfig(
       * per-task overhead, huge rounds underpartition. 0 disables
       * (always frontierPartitions). */
     rowsPerBucket: Long = 250000L,
+    /** Above this many frontier candidates, offer the round's scheduled
+      * CHECKPOINT to the fetcher to write in its own join layout
+      * ([[graft.engine.Fetcher.checkpointScheduled]]): one
+      * bucketed-on-canonical shuffle+write instead of the engine's
+      * urlHash checkpoint PLUS the fetcher's re-bucketed copy — heavy
+      * rounds stop paying a redundant full shuffle+write+read of the
+      * scheduled table. Skipped when lineageStats is on (per-bucket
+      * manifest hashes follow the urlHash layout). -1 disables. */
+    fusedCheckpointMin: Long = 500000L,
     /** Follow 3xx responses (continuous-crawl tier): a fetch whose corpus
       * row carries `redirect_to` surfaces as status 301 + `location`;
       * with this ON the engine (a) emits the location as a non-branching

@@ -146,6 +146,30 @@ class RedirectCrawlSpec extends SparkTestBase {
     pages.toDF("doc_id", "spans")
   }
 
+  test("fused scheduled checkpoint (fusedCheckpointMin=0) leaves the trace exactly equal") {
+    import graft.corpus.Corpus
+    val spec = Corpus.Spec(nDocs = 200, nHosts = 10, maxLinks = 4)
+    val docs = Corpus.docs(spark, spec)
+    val seeds = Corpus.seedsLocal(4, spec)
+    val base = CrawlConfig(maxRounds = 4, maxDepth = 4,
+      defaultHostBudget = 3, frontierPartitions = 4, bloomShards = 4,
+      bloomExpectedItems = 10000L, lineageStats = false)
+    def rows(cfg: CrawlConfig) = {
+      val dir = SparkTestBase.tmpDir("fused")
+      val r = CrawlEngine.run(spark, docs, seeds, noRobots,
+        Router(Map.empty, fallback = graft.router.Handler.linkFollower()),
+        cfg, dir)
+      (r.metrics.map(m => (m.round, m.scheduledRows, m.frontierRows)),
+        r.trace(spark).select("seq", "url", "depth", "parentSeq")
+          .as[(Long, String, Int, Long)].collect().sortBy(_._1).toSeq)
+    }
+    val (mFused, tFused) = rows(base.copy(fusedCheckpointMin = 0L))
+    val (mPlain, tPlain) = rows(base.copy(fusedCheckpointMin = -1L))
+    assert(mFused == mPlain) // incl. exact scheduled counts (Observation
+                             // through the fused saveAsTable write)
+    assert(tFused == tPlain)
+  }
+
   test("runEpochs: change-driven revisit priority across three epochs") {
     val work = SparkTestBase.tmpDir("epochs")
     val cfg = CrawlConfig(maxRounds = 2, maxDepth = 2,
