@@ -23,7 +23,9 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (which.isEmpty || which.contains(name)) {
-        if (name != "q_crawl_bfs") { // iterative: per-round plans, skip dump
+        // iterative engine runs: per-round plans, skip dump
+        if (!Set("q_crawl_bfs", "q_redirect_crawl", "q_recrawl_e2e")
+            .contains(name)) {
           println(s"\n## $name\n")
           println("```")
           try println(fn(spark, dir).queryExecution.explainString(

@@ -170,6 +170,42 @@ class RedirectCrawlSpec extends SparkTestBase {
     assert(tFused == tPlain)
   }
 
+  test("fused checkpoint's large-round fetch join plans ZERO exchanges on either side") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.engine.BucketedJoinFetcher
+    val n = 8
+    // corpus as a bucketed catalog table (the 100 TB layout)
+    spark.sql("DROP TABLE IF EXISTS fused_docs")
+    (0L until 50L).map(i => (s"http://f.test/$i",
+        Seq(Span("text", s"t$i", null, 0))))
+      .toDF("doc_id", "spans")
+      .write.bucketBy(n, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable("fused_docs")
+    val fetcher = new BucketedJoinFetcher("fused_docs", n,
+      broadcastMax = 1L) // force the large-round path
+    val sched = (0L until 20L).map(i => (s"http://f.test/$i",
+        s"http://f.test/$i", i)).toDF("url", "canonical", "urlHash")
+    val dir = SparkTestBase.tmpDir("fusedplan")
+    val Some((back, rows)) =
+      fetcher.checkpointScheduled(sched, s"$dir/scheduled/round=0")
+    assert(rows == 20L)
+    val fetched = fetcher.fetch(back, rows)
+    val plan = fetched.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.isEmpty,
+      s"fused join must be exchange-free, got ${exchanges.size}:\n$plan")
+    assert(fetched.filter(col("status") === 200).count() == 20L)
+    fetcher.endRound()
+    // external table: the catalog entry is gone, the round files survive
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$dir/scheduled/round=0")))
+    spark.sql("DROP TABLE IF EXISTS fused_docs")
+  }
+
   test("runEpochs: change-driven revisit priority across three epochs") {
     val work = SparkTestBase.tmpDir("epochs")
     val cfg = CrawlConfig(maxRounds = 2, maxDepth = 2,
