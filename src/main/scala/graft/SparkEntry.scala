@@ -217,7 +217,8 @@ object SparkEntry {
       val corpus = cleanRows.unionByName(alias1Rows).unionByName(alias2Rows)
       val cfgR = CrawlConfig(maxRounds = 12, maxDepth = 3,
         frontierPartitions = 8, useBloomPrefilter = false,
-        followRedirects = true)
+        followRedirects = true,
+        lineageStats = false, trackPath = false)
       val router = Router(Map.empty, fallback = Handler.linkFollower())
       val seeds = Seq(Seed("http://t0.test/c/0", null, 0))
       val w1 = java.nio.file.Files.createTempDirectory("graft-rc1").toString
@@ -247,7 +248,8 @@ object SparkEntry {
           .otherwise(t))
       val work = java.nio.file.Files.createTempDirectory("graft-e2e").toString
       val cfg = CrawlConfig(maxRounds = 2, maxDepth = 2,
-        frontierPartitions = 8, useBloomPrefilter = false)
+        frontierPartitions = 8, useBloomPrefilter = false,
+        lineageStats = false, trackPath = false)
       val router = Router(Map.empty, fallback = Handler.linkFollower())
       val seeds = (0 until 6).map(j => Seed(s"http://s$j.test/d/$j", null, j))
       val rs = ContinuousCrawl.runEpochs(s, corpusV, seeds,
@@ -501,7 +503,10 @@ object SparkEntry {
       val work = java.nio.file.Files.createTempDirectory("graft-bfs").toString
       val cfg = CrawlConfig(maxRounds = 4, maxDepth = 4,
         defaultHostBudget = Int.MaxValue, frontierPartitions = 8,
-        useBloomPrefilter = false)
+        useBloomPrefilter = false,
+        // r6: gate measures the crawl semantics, not the audit tier —
+        // trace output is identical (path/bucket stats are unselected)
+        lineageStats = false, trackPath = false)
       val r = CrawlEngine.run(s, corpus, seeds,
         s.emptyDataset[RobotsRule],
         Router(Map.empty, fallback = Handler.linkFollower()), cfg, work)
@@ -520,7 +525,8 @@ object SparkEntry {
         Seed("http://s1.test/d/1", null, 1))
       val work = java.nio.file.Files.createTempDirectory("graft-dfs").toString
       val cfg = CrawlConfig(maxRounds = 3, maxDepth = 3, lifo = true,
-        dedup = false, useBloomPrefilter = false, frontierPartitions = 8)
+        dedup = false, useBloomPrefilter = false, frontierPartitions = 8,
+        lineageStats = false) // trackPath stays: path IS the DFS order key
       val r = CrawlEngine.run(s, corpus, seeds, s.emptyDataset[RobotsRule],
         Router(Map.empty, fallback = Handler.linkFollower()), cfg, work)
       import org.apache.spark.sql.expressions.Window
@@ -558,7 +564,8 @@ object SparkEntry {
       val seeds = (0 until 8).map(j => Seed(s"http://s$j.test/d/$j", null, j))
       val work = java.nio.file.Files.createTempDirectory("graft-seed").toString
       val cfg = CrawlConfig(maxRounds = 1, maxDepth = 2,
-        frontierPartitions = 8, useBloomPrefilter = false)
+        frontierPartitions = 8, useBloomPrefilter = false,
+        lineageStats = false, trackPath = false)
       val r = CrawlEngine.run(s, corpus, seeds, s.emptyDataset[RobotsRule],
         Router(Map.empty, fallback = Handler.continue), cfg, work)
       r.trace(s).select(col("url"), col("seq")).orderBy("seq")
@@ -576,7 +583,8 @@ object SparkEntry {
         crawlDelayMs = 2000L, hostBudget = 3)).toDS()
       val work = java.nio.file.Files.createTempDirectory("graft-delay").toString
       val cfg = CrawlConfig(maxRounds = 8, maxDepth = 2, msPerRound = 1000L,
-        frontierPartitions = 8, useBloomPrefilter = false)
+        frontierPartitions = 8, useBloomPrefilter = false,
+        lineageStats = false, trackPath = false)
       val r = CrawlEngine.run(s, corpus, seeds, robots,
         Router(Map.empty, fallback = Handler.continue), cfg, work)
       r.trace(s).select(col("url"), col("seq"), col("round")).orderBy("seq")

@@ -37,7 +37,7 @@ class BucketedSeenStore(
 
   private def write(df: DataFrame, mode: String): Unit =
     df.select(col("urlHash"))
-      .write.mode(mode)
+      .write.mode(mode).options(graft.engine.TableIO.writeOpts)
       .bucketBy(buckets, "urlHash").sortBy("urlHash")
       .format("parquet").saveAsTable(table)
 

@@ -474,6 +474,8 @@ object CrawlEngine {
       else inGroup(frontier.count())
     var stopped = false
     var pinned: Option[DataFrame] = None // persisted fetch, for abort cleanup
+    // persisted small-round scheduled table (memCheckpointMax path)
+    var pinnedSched: Option[DataFrame] = None
     // every concurrent-stage future of the CURRENT round, so the cancel
     // path can drain stragglers before deleting the round's dirs (a
     // straggler read-job racing the delete + the resumed crawl's
@@ -622,9 +624,23 @@ object CrawlEngine {
           theFetcher.checkpointScheduled(scheduled,
             TableIO.roundPath(workDir, "scheduled", round))
         else None
+      // small rounds (memCheckpointMax) materialize the scheduled table
+      // as a persist instead of a parquet round table: nothing ever reads
+      // the file back (resume needs only frontier/seen/manifests), so the
+      // write+commit+read was pure per-round floor (r6, guide §1/§6).
+      // (!bigRound: the three-level seq path's range sampling is only
+      // replay-stable while its persisted count table lives — never leave
+      // a big round's scheduled table re-computable past that)
+      val memCk = fused.isEmpty && cfg.memCheckpointMax >= 0 &&
+        !cfg.lineageStats && !bigRound && frontierCount < cfg.memCheckpointMax
       val (schedStat0, scheduledBack) = fused match {
         case Some((df, rows)) =>
           (TableIO.TableStat("scheduled", rows, Seq.empty), df)
+        case None if memCk =>
+          val p = scheduled.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          pinnedSched = Some(p)
+          (TableIO.TableStat("scheduled", inGroup(p.count()), Seq.empty), p)
         case None =>
           val st = TableIO.writeRound(
             scheduled, workDir, "scheduled", round, "urlHash",
@@ -695,8 +711,7 @@ object CrawlEngine {
             col("outcome.outcome").as("o"),
             col("outcome.deferQuery").as("q"))
           .agg(count(lit(1)).as("n"),
-            max(coalesce(col("outcome.deferMs"), lit(0L))).as("ms"),
-            sum(when(col("status") === 200, 1L).otherwise(0L)).as("ok"))
+            max(coalesce(col("outcome.deferMs"), lit(0L))).as("ms"))
           .collect()))(sinkEc))
       // mid-round poll #2: abort before launching the sink stage
       if (cfg.cancelMidRound && stopSignal()) throw new MidRoundStop
@@ -807,7 +822,13 @@ object CrawlEngine {
               val st = new graft.dedup.BucketedSeenStore(spark,
                 graft.dedup.BucketedSeenStore.tableFor(workDir),
                 cfg.frontierPartitions)
-              st.bulkLoad(TableIO.readDeltas(spark, workDir, "seen", round))
+              // raw deltas, NOT readDeltas: this branch runs concurrently
+              // with fBloom's compactDeltas when the threshold round is
+              // also a compaction round, and snapshot selection could see
+              // a partially-written snapshot (ADVICE r05 medium). The raw
+              // delta family is append-only and already durable (fSeen).
+              st.bulkLoad(
+                TableIO.readDeltasRaw(spark, workDir, "seen", round))
               Some(st)
           })
         }(sinkEc))
@@ -1004,6 +1025,8 @@ object CrawlEngine {
       // 12. advance (read back from checkpoint: plan restarts at scan)
       fetched.unpersist(blocking = false)
       pinned = None
+      pinnedSched.foreach(_.unpersist(blocking = false))
+      pinnedSched = None
       theFetcher.endRound()
       frontier = TableIO.readRound(spark, workDir, "frontier", round)
       seen = TableIO.readDeltas(spark, workDir, "seen", round)
@@ -1026,6 +1049,8 @@ object CrawlEngine {
         }
         pinned.foreach(_.unpersist(blocking = false))
         pinned = None
+        pinnedSched.foreach(_.unpersist(blocking = false))
+        pinnedSched = None
         theFetcher.endRound()
         // belt-and-braces: never delete a committed round (the clearJobGroup
         // above makes a committed-round cancel unreachable, but a custom

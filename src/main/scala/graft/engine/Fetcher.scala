@@ -228,7 +228,7 @@ class BucketedJoinFetcher(
     val t = s"${schedTable}_ckpt_$roundN"
     val obs = org.apache.spark.sql.Observation()
     scheduled.observe(obs, count(lit(1)).as("rows"))
-      .write.mode("overwrite").option("path", path)
+      .write.mode("overwrite").options(TableIO.writeOpts).option("path", path)
       .bucketBy(buckets, "canonical").sortBy("canonical")
       .format("parquet").saveAsTable(t)
     liveTable = Some((spark, t))
@@ -248,7 +248,7 @@ class BucketedJoinFetcher(
         case _ =>
           roundN += 1
           val t = s"${schedTable}_$roundN"
-          scheduled.write.mode("overwrite")
+          scheduled.write.mode("overwrite").options(TableIO.writeOpts)
             .bucketBy(buckets, "canonical").sortBy("canonical")
             .format("parquet").saveAsTable(t)
           liveTable = Some((spark, t))
@@ -297,7 +297,7 @@ class AutoBucketJoinFetcher(
 
   private def ensureBucketed(): BucketedJoinFetcher = {
     if (bucketed == null) {
-      docs.write.mode("overwrite")
+      docs.write.mode("overwrite").options(TableIO.writeOpts)
         .bucketBy(buckets, "doc_id").sortBy("doc_id")
         .format("parquet").saveAsTable(tableName)
       bucketed = new BucketedJoinFetcher(tableName, buckets, broadcastMax,

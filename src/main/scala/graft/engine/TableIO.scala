@@ -21,10 +21,32 @@ object TableIO {
 
   case class TableStat(name: String, rows: Long, parts: Seq[PartStat])
 
-  /** Write `df` for round `round` under `dir/name/round=<k>`, explicitly
-    * repartitioned on `hashCol` into `buckets` buckets (axis A: the layout
-    * is the scale knob — at 10^10 rows only `buckets` changes).
-    * Returns per-bucket lineage stats computed in the same pass shape.
+  /** Per-write Hadoop overrides for every round-table commit (guide §6 +
+    * the r5 floor probe: each tiny parquet commit cost 150-800 ms on this
+    * VM, and a crawl pays 3-5 commits per round). v2 task commits move
+    * files straight to the destination (one rename instead of a
+    * task-then-job double rename — safe here because every round dir is
+    * either manifest-committed or deleted/overwritten wholesale on
+    * replay), and the _SUCCESS marker is dead weight (completion is the
+    * round MANIFEST, written last).
+    */
+  val writeOpts: Map[String, String] = Map(
+    "mapreduce.fileoutputcommitter.algorithm.version" -> "2",
+    "mapreduce.fileoutputcommitter.marksuccessfuljobs" -> "false")
+
+  /** Write `df` for round `round` under `dir/name/round=<k>` with a
+    * `_bucket = hashCol % buckets` lineage column (axis A: the layout is
+    * the scale knob — at 10^10 rows only `buckets` changes).
+    *
+    * The rows are NOT physically re-clustered by `_bucket` (r6): plain
+    * parquet reads never recover a hash partitioning, so the old
+    * `repartition(buckets, _bucket)` was one full Exchange of the round's
+    * biggest table (the children/frontier write) for a layout no reader
+    * exploited — the dedup anti-join re-shuffles both sides regardless,
+    * and the per-bucket manifest stats group by the _bucket COLUMN, which
+    * is file-layout-independent. Output file count now follows the
+    * upstream partitioning (AQE-coalesced); single-bucket (small-round)
+    * writes still coalesce to one file.
     */
   def writeRound(
       df: DataFrame,
@@ -41,13 +63,11 @@ object TableIO {
     // row count via an Observation collected by the WRITE job itself —
     // zero extra actions (the old footer-count read-back was one more
     // job per table per round, a pure serial-floor cost at 10^4-round
-    // crawls). A single-bucket (small-round) write skips the bucketing
-    // Exchange outright: every row is bucket 0, coalesce is narrow.
+    // crawls).
     val obs = org.apache.spark.sql.Observation()
     val observed = bucketed.observe(obs, count(lit(1)).as("rows"))
-    (if (buckets == 1) observed.coalesce(1)
-     else observed.repartition(buckets, col("_bucket")))
-      .write.mode("overwrite").parquet(path)
+    (if (buckets == 1) observed.coalesce(1) else observed)
+      .write.mode("overwrite").options(writeOpts).parquet(path)
     val rows = obs.get("rows").asInstanceOf[Long]
     if (!withStats) TableStat(name, rows, Seq.empty)
     else TableStat(name, rows, bucketStats(df.sparkSession, path))
@@ -89,9 +109,8 @@ object TableIO {
     val path = s"$dir/$name/round=$round"
     val bucketed = df.withColumn("_bucket",
       pmod(col(hashCol), lit(buckets.toLong)).cast("int"))
-    (if (buckets == 1) bucketed.coalesce(1)
-     else bucketed.repartition(buckets, col("_bucket")))
-      .write.mode("overwrite").parquet(path)
+    (if (buckets == 1) bucketed.coalesce(1) else bucketed)
+      .write.mode("overwrite").options(writeOpts).parquet(path)
     TableStat(name, rows, Seq.empty)
   }
 
@@ -119,6 +138,22 @@ object TableIO {
     spark.read.parquet((base ++ deltas): _*).drop("_bucket")
   }
 
+  /** Union of ALL round deltas <= `round`, IGNORING compaction snapshots.
+    * For readers that may run CONCURRENTLY with [[compactDeltas]] (ADVICE
+    * r05 medium: the seen-mirror bulkLoad raced the compactor — a snapshot
+    * dir becomes visible at job setup, before its parquet files commit,
+    * so snapshot selection could pick an empty/partial snapshot). Raw
+    * deltas are append-only and stay on disk after compaction, so this
+    * read is race-free by construction.
+    */
+  def readDeltasRaw(spark: SparkSession, dir: String, name: String,
+      round: Int): DataFrame = {
+    val deltas = (0 to round)
+      .map(r => s"$dir/$name/round=$r")
+      .filter(p => Files.isDirectory(Paths.get(p)))
+    spark.read.parquet(deltas: _*).drop("_bucket")
+  }
+
   /** Compact all deltas <= `round` into one snapshot
     * (`<name>_compact/round=<round>`). Subsequent [[readDeltas]] calls read
     * the snapshot + newer deltas only — bounds the union fan-in on very
@@ -134,10 +169,13 @@ object TableIO {
   private def writeRoundCompact(df: DataFrame, dir: String, name: String,
       round: Int, hashCol: String, buckets: Int): TableStat = {
     val path = s"$dir/$name/round=$round"
+    // coalesce, not repartition (r6): the snapshot's only job is bounding
+    // the delta-union fan-in, so bounding the FILE count needs a narrow
+    // coalesce, not a full Exchange of the accumulated seen set
     df.withColumn("_bucket",
         pmod(col(hashCol), lit(buckets.toLong)).cast("int"))
-      .repartition(buckets, col("_bucket"))
-      .write.mode("overwrite").parquet(path)
+      .coalesce(buckets)
+      .write.mode("overwrite").options(writeOpts).parquet(path)
     val rows = df.sparkSession.read.parquet(path).count()
     TableStat(name, rows, Seq.empty)
   }

@@ -248,6 +248,17 @@ case class CrawlConfig(
       * scheduled table. Skipped when lineageStats is on (per-bucket
       * manifest hashes follow the urlHash layout). -1 disables. */
     fusedCheckpointMin: Long = 500000L,
+    /** Below this many frontier candidates (and with lineageStats off —
+      * per-bucket manifest hashes need the written file), the round's
+      * scheduled table is materialized as an in-memory/disk PERSIST
+      * instead of a parquet checkpoint: small rounds pay the full
+      * write+commit+read-back latency (the dominant per-round floor term
+      * on the r5 floor probe) for a table nothing ever reads back —
+      * resume needs only frontier/seen/manifests, and trace/records are
+      * their own durable sinks. Crash-safety is unchanged: an uncommitted
+      * round is replayed from the previous manifest either way. -1
+      * disables (always write). */
+    memCheckpointMax: Long = 500000L,
     /** Follow 3xx responses (continuous-crawl tier): a fetch whose corpus
       * row carries `redirect_to` surfaces as status 301 + `location`;
       * with this ON the engine (a) emits the location as a non-branching
