@@ -300,8 +300,15 @@ object CrawlEngine {
       w.start()
     }
 
+    // a caller-provided seed frontier (continuous-crawl revisit sets) is
+    // an arbitrary plan (joins over prior epochs' records/trace): persist
+    // it so the initial sizing count and round 0's pipeline execute it
+    // once, not twice (r6). Unpersisted at crawl end; resume frontiers
+    // are parquet scans and need no pin.
+    val seedFrontierPinned = seedFrontier.map(_.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var frontier = resumeState.map(_.frontier)
-      .orElse(seedFrontier)
+      .orElse(seedFrontierPinned)
       .getOrElse(seedCandidates(spark, seeds, cfg.lifo))
     var seen = resumeState.map(_.seen).getOrElse(
       spark.emptyDataset[SeenEntry].toDF())
@@ -656,16 +663,32 @@ object CrawlEngine {
       // mid-round poll #1: abort before paying the fetch
       if (cfg.cancelMidRound && stopSignal()) throw new MidRoundStop
       val scheduledCount = schedStat0.rows
+      // zero-scheduled fast path (r6): a round that schedules nothing
+      // (delay-blocked hosts, deferred tags, or a fully-deduped tail) has
+      // nothing to fetch, trace, record or add to seen — skip the fetch
+      // and those sinks outright instead of running them over an empty
+      // table (they were ~the whole round floor: q_crawl_delay pays 4 of
+      // its 8 rounds fully blocked). Equivalent by construction: an empty
+      // write produced a row-less dir and every reader (trace(),
+      // records(), readDeltas) unions dirs to zero rows / skips missing
+      // dirs. Round 0 is never skipped so each table's base dir + schema
+      // exists for RunResult readers and resume.
+      val emptyRound = scheduledCount == 0 && round > 0
 
       // 5. fetch via the pluggable backend (S6/S7; default JoinFetcher =
       //    deterministic join against docs). `fetched` feeds several
       //    downstream actions (trace, records, children, metrics); persist
       //    it so the corpus is scanned exactly ONCE per round.
-      val fetchedRaw = theFetcher.fetch(scheduledBack, scheduledCount)
-      val fetched = (if (fetchedRaw.columns.contains("location")) fetchedRaw
-        else fetchedRaw.withColumn("location", lit(null).cast("string")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      pinned = Some(fetched)
+      val fetchedOpt: Option[DataFrame] =
+        if (emptyRound) None
+        else {
+          val fetchedRaw = theFetcher.fetch(scheduledBack, scheduledCount)
+          val f = (if (fetchedRaw.columns.contains("location")) fetchedRaw
+            else fetchedRaw.withColumn("location", lit(null).cast("string")))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          pinned = Some(f)
+          Some(f)
+        }
 
       // 6. route through handlers -> children + outcome columns. A 3xx
       //    with followRedirects emits its Location as ONE non-branching
@@ -689,13 +712,13 @@ object CrawlEngine {
         if (!cfg.followRedirects) hold
         else when(isRedirect, FlowControl.continueOutcome).otherwise(hold)
       }
-      val routed = router(fetched)
+      val routedOpt: Option[DataFrame] = fetchedOpt.map(f => router(f)
         .withColumn("children",
           when(col("status") === 200, col("children"))
             .otherwise(nonOkChildren))
         .withColumn("outcome",
           when(col("status") === 200, col("outcome"))
-            .otherwise(nonOkOutcome))
+            .otherwise(nonOkOutcome)))
 
       // 6.5 ONE aggregation pass carries all per-round driver facts —
       // per-tag metrics (full Metric-middleware semantics,
@@ -706,47 +729,63 @@ object CrawlEngine {
       // tiny). Launched CONCURRENTLY with the sink writes below — Spark's
       // block manager computes each persisted fetch partition exactly
       // once (in-progress block locks), so racing consumers are safe.
-      val fOutcomes = track(scala.concurrent.Future(inGroup(
-        routed.groupBy(col("tag"),
-            col("outcome.outcome").as("o"),
-            col("outcome.deferQuery").as("q"))
-          .agg(count(lit(1)).as("n"),
-            max(coalesce(col("outcome.deferMs"), lit(0L))).as("ms"))
-          .collect()))(sinkEc))
+      val fOutcomes = routedOpt match {
+        case Some(routed) => track(scala.concurrent.Future(inGroup(
+          routed.groupBy(col("tag"),
+              col("outcome.outcome").as("o"),
+              col("outcome.deferQuery").as("q"))
+            .agg(count(lit(1)).as("n"),
+              max(coalesce(col("outcome.deferMs"), lit(0L))).as("ms"))
+            .collect()))(sinkEc))
+        case None => scala.concurrent.Future.successful(
+          Array.empty[org.apache.spark.sql.Row])
+      }
       // mid-round poll #2: abort before launching the sink stage
       if (cfg.cancelMidRound && stopSignal()) throw new MidRoundStop
 
       // 7. trace + records sink (S4: typed data sink -> parquet append);
       //    writes launched concurrently with the frontier/seen writes below
-      val trace = routed.select(
-        col("seq"), col("url"), col("canonical"), col("urlHash"),
-        col("host"), col("tag"), col("depth"), col("priority"),
-        col("discoveryRound"), col("parentSeq"), col("path"),
-        col("status"), col("outcome.outcome").as("outcome"),
-        lit(round).as("round"),
-        size(filter(col("spans"), s => s("kind") === "link")).as("n_links"))
-      val records = routed.filter(col("status") === 200).select(
-        col("canonical").as("url"),
-        get(filter(col("spans"), s => s("kind") === "text"), lit(0))
-          .getField("text").as("title"),
-        size(col("spans")).cast("long").as("contentLength"),
-        size(filter(col("spans"), s => s("kind") === "link")).as("nLinks"),
-        size(filter(col("spans"), s => s("kind") === "media")).as("nMedia"),
-        lit(round).as("scrapedRound"),
-        col("urlHash"))
-      val fTrace = track(scala.concurrent.Future(inGroup(
-        TableIO.writeRoundLite(trace, workDir, "trace", round, "urlHash",
-          bucketsFor(scheduledCount), scheduledCount)))(sinkEc))
+      val noWrite = scala.concurrent.Future.successful(
+        TableIO.TableStat("", 0L, Seq.empty))
+      val fTrace = routedOpt match {
+        case Some(routed) =>
+          val trace = routed.select(
+            col("seq"), col("url"), col("canonical"), col("urlHash"),
+            col("host"), col("tag"), col("depth"), col("priority"),
+            col("discoveryRound"), col("parentSeq"), col("path"),
+            col("status"), col("outcome.outcome").as("outcome"),
+            lit(round).as("round"),
+            size(filter(col("spans"), s => s("kind") === "link"))
+              .as("n_links"))
+          track(scala.concurrent.Future(inGroup(
+            TableIO.writeRoundLite(trace, workDir, "trace", round, "urlHash",
+              bucketsFor(scheduledCount), scheduledCount)))(sinkEc))
+        case None => noWrite
+      }
       // records rows = this round's 200s (<= scheduled; exact count lands
       // with the outcome aggregate, after this write is already running —
       // scheduledCount is the sizing proxy)
-      val fRecords = track(scala.concurrent.Future(inGroup(
-        TableIO.writeRoundLite(records, workDir, "records", round, "urlHash",
-          bucketsFor(scheduledCount), scheduledCount)))(sinkEc))
+      val fRecords = routedOpt match {
+        case Some(routed) =>
+          val records = routed.filter(col("status") === 200).select(
+            col("canonical").as("url"),
+            get(filter(col("spans"), s => s("kind") === "text"), lit(0))
+              .getField("text").as("title"),
+            size(col("spans")).cast("long").as("contentLength"),
+            size(filter(col("spans"), s => s("kind") === "link")).as("nLinks"),
+            size(filter(col("spans"), s => s("kind") === "media"))
+              .as("nMedia"),
+            lit(round).as("scrapedRound"),
+            col("urlHash"))
+          track(scala.concurrent.Future(inGroup(
+            TableIO.writeRoundLite(records, workDir, "records", round,
+              "urlHash", bucketsFor(scheduledCount), scheduledCount)))(sinkEc))
+        case None => noWrite
+      }
 
       // 9. children -> next-round candidates (F9 depth rules: branch = +1,
       //    inherit tag when child tag is null)
-      val children = routed
+      val childrenOpt = routedOpt.map(routed => routed
         .select(col("seq").as("parentSeq"), col("tag").as("_ptag"),
           col("depth").as("_pdepth"), col("path").as("_ppath"),
           explode_outer(col("children")).as("c"))
@@ -770,16 +809,20 @@ object CrawlEngine {
         .filter(col("canonical").isNotNull && col("depth") <= cfg.maxDepth)
         .withColumn("urlHash", Canon.urlHash(col("canonical")))
         .withColumn("host", Canon.host(col("canonical")))
-        .select(candCols.map(col).toIndexedSeq: _*)
+        .select(candCols.map(col).toIndexedSeq: _*))
 
       // 10. next frontier (rewritten: it mutates) + seen DELTA (append-only
       //     Iceberg-style: only this round's new hashes are written, the
       //     read path unions all round deltas — avoids the O(total) seen
-      //     rewrite per round that would make long crawls quadratic)
-      val nextFrontier = children
-        .unionByName(overBudget.select(candCols.map(col).toIndexedSeq: _*))
+      //     rewrite per round that would make long crawls quadratic).
+      //     An empty round carries only the blocked/deferred candidates.
+      val carried = overBudget.select(candCols.map(col).toIndexedSeq: _*)
         .unionByName(deferred.select(candCols.map(col).toIndexedSeq: _*))
         .unionByName(delayBlocked.select(candCols.map(col).toIndexedSeq: _*))
+      val nextFrontier = childrenOpt match {
+        case Some(children) => children.unionByName(carried)
+        case None => carried
+      }
       val newSeen = scheduledBack.select(
         col("urlHash"), col("canonical"),
         col("seq").as("firstSeq"), lit(round).as("round"))
@@ -790,9 +833,13 @@ object CrawlEngine {
         TableIO.writeRound(nextFrontier, workDir, "frontier",
           round, "urlHash", bucketsFor(scheduledCount * 8),
           cfg.lineageStats)))(sinkEc))
-      val fSeen = track(scala.concurrent.Future(inGroup(
-        TableIO.writeRound(newSeen, workDir, "seen", round,
-          "urlHash", bucketsFor(scheduledCount), cfg.lineageStats)))(sinkEc))
+      val fSeen =
+        if (emptyRound)
+          scala.concurrent.Future.successful(
+            TableIO.TableStat("seen", 0L, Seq.empty))
+        else track(scala.concurrent.Future(inGroup(
+          TableIO.writeRound(newSeen, workDir, "seen", round,
+            "urlHash", bucketsFor(scheduledCount), cfg.lineageStats)))(sinkEc))
 
       // Everything that used to run serially AFTER the sink awaits rides
       // the same concurrent stage (round-4 verdict #1 — these serial
@@ -901,7 +948,7 @@ object CrawlEngine {
       val fRedir: scala.concurrent.Future[Long] =
         if (cfg.followRedirects && scheduledCount > 0)
           track(scala.concurrent.Future(inGroup {
-            val edges = routed.filter(isRedirect)
+            val edges = routedOpt.get.filter(isRedirect)
               .select(col("canonical").as("src"),
                 Canon.canonicalize(col("location")).as("dst"))
               .filter(col("dst").isNotNull)
@@ -1023,7 +1070,7 @@ object CrawlEngine {
       staleLedgerRounds = Nil
 
       // 12. advance (read back from checkpoint: plan restarts at scan)
-      fetched.unpersist(blocking = false)
+      pinned.foreach(_.unpersist(blocking = false))
       pinned = None
       pinnedSched.foreach(_.unpersist(blocking = false))
       pinnedSched = None
@@ -1067,6 +1114,7 @@ object CrawlEngine {
 
     spark.sparkContext.clearJobGroup()
     redirectMap.foreach(_.unpersist(blocking = false))
+    seedFrontierPinned.foreach(_.unpersist(blocking = false))
     if (fetcher.isEmpty) theFetcher.close()
     RunResult(round, nextSeq, metrics, workDir, stoppedMidRound = stopped)
   }

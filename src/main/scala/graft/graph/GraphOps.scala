@@ -216,9 +216,19 @@ object GraphOps {
     */
   def labelPropagation(nodes: DataFrame, edges: DataFrame,
       iterations: Int): DataFrame = {
+    // same iterative-execution discipline as [[connectedComponents]]
+    // (r6): `labels` appears TWICE per iteration (union + join), so an
+    // unmaterialized chain duplicates the whole prior subtree 2^k times —
+    // the edge scan ran ~2^iterations times per action. und is persisted
+    // once; each iteration's labels are materialized + lineage-truncated
+    // (localCheckpoint), so iteration k costs one join+aggregate over
+    // cached blocks regardless of k. Integer min is order-insensitive:
+    // results are bit-identical to the lazy form.
     val und = edges.select(col("src").as("a"), col("dst").as("b"))
       .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = nodes.select(col("id").as("node"), col("id").as("label"))
+      .localCheckpoint()
     for (_ <- 1 to iterations) {
       val fromNbr = und
         .join(labels, und("b") === labels("node"))
@@ -226,7 +236,9 @@ object GraphOps {
       labels = labels.unionByName(fromNbr)
         .groupBy(col("node"))
         .agg(min(col("label")).as("label"))
+        .localCheckpoint()
     }
+    und.unpersist(blocking = false)
     labels
   }
 }

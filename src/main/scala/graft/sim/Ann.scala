@@ -223,7 +223,16 @@ object Ann {
     val cents = collectCentroids(v, stride)
     v.withColumn("cid", argmaxCid(cents, col("v")))
       .select(col("id"), col("v"), col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(path)
+      // v2 committer + no _SUCCESS (TableIO.writeOpts): the dynamic-
+      // partition commit (one dir per inverted list) was the build's
+      // dominant cost. A pre-write repartition($"cid") was tried per
+      // guide §6 (one file per list) and REVERTED on measurement: at
+      // gate scale the added Exchange + 32 write tasks cost more than
+      // the ~equal file count saved — on a real 10^9-vector corpus,
+      // where lists span many scan tasks, cluster by cid first.
+      .write.mode("overwrite")
+      .options(graft.engine.TableIO.writeOpts)
+      .partitionBy("cid").parquet(path)
     IvfIndex(path, cents)
   }
 
