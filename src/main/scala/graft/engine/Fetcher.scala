@@ -238,14 +238,22 @@ class BucketedJoinFetcher(
   def fetch(scheduled: DataFrame, scheduledCount: Long): DataFrame = {
     val spark = scheduled.sparkSession
     val docs = spark.table(docsTable)
-    if (scheduledCount > 0 && scheduledCount < broadcastMax) {
+    // a scheduled side ALREADY in the join layout (fused checkpoint)
+    // joins co-located with ZERO exchanges on either side — always
+    // cheaper than the broadcast decomposition, which pays a build+ship
+    // of the whole scheduled set, a misses anti-join and an extra
+    // persist while scanning the corpus side just the same (r6,
+    // measured: bench rounds 4-5 were broadcasting 359k/427k rows
+    // below broadcastMax despite the fused layout).
+    val fusedLayout = Fetcher.bucketedTableOn(scheduled, "canonical")
+      .exists(_._2 == buckets)
+    if (!fusedLayout && scheduledCount > 0 && scheduledCount < broadcastMax) {
       small = new JoinFetcher(docs, broadcastMax)
       small.fetch(scheduled, scheduledCount)
     } else {
-      val sched = Fetcher.bucketedTableOn(scheduled, "canonical") match {
-        // already in the join layout (fused checkpoint): no rewrite
-        case Some((_, n)) if n == buckets => scheduled
-        case _ =>
+      val sched =
+        if (fusedLayout) scheduled
+        else {
           roundN += 1
           val t = s"${schedTable}_$roundN"
           scheduled.write.mode("overwrite").options(TableIO.writeOpts)
@@ -253,7 +261,7 @@ class BucketedJoinFetcher(
             .format("parquet").saveAsTable(t)
           liveTable = Some((spark, t))
           spark.table(t)
-      }
+        }
       Fetchers.statusAndLocation(
         sched.join(docs.withColumnRenamed("doc_id", "_doc_id"),
           col("canonical") === col("_doc_id"), "left"),
