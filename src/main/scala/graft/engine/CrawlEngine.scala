@@ -446,10 +446,33 @@ object CrawlEngine {
         // one outgoing edge per src (resolve's contract); max() makes the
         // pick deterministic if observations ever disagree
         val edges = e.groupBy(col("src")).agg(max(col("dst")).as("dst"))
-        Redirects.resolve(edges, cfg.redirectMaxHops)
-          .select(col("url").as("_rsrc"), col("final_url").as("_rfin"),
-            col("looped").as("_rloop"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // driver fast path (r6): small ledgers collect + resolve locally
+        // (Redirects.resolveLocal, differential-spec'd against resolve)
+        // and the rewrite map BROADCASTS — the distributed doubling is
+        // ~5 shuffle stages per rebuild, pure serial floor on
+        // redirect-heavy crawls with tiny ledgers. limit(max+1) bounds
+        // the collect; an over-limit ledger falls through to doubling.
+        val local: Option[Array[org.apache.spark.sql.Row]] =
+          if (cfg.redirectDriverMax <= 0) None
+          else {
+            val rows = edges.limit(cfg.redirectDriverMax + 1).collect()
+            if (rows.length > cfg.redirectDriverMax) None else Some(rows)
+          }
+        local match {
+          case Some(rows) =>
+            import spark.implicits._
+            val m = rows.iterator
+              .map(r => r.getString(0) -> r.getString(1)).toMap
+            broadcast(
+              Redirects.resolveLocal(m, cfg.redirectMaxHops)
+                .map { case (src, fin, _, loop) => (src, Option(fin), loop) }
+                .toDF("_rsrc", "_rfin", "_rloop"))
+          case None =>
+            Redirects.resolve(edges, cfg.redirectMaxHops)
+              .select(col("url").as("_rsrc"), col("final_url").as("_rfin"),
+                col("looped").as("_rloop"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }
       }
       redirectsDirty = false
     }

@@ -72,7 +72,8 @@ object Redirects {
           (col("hops") + coalesce(col("_bhops"), lit(0L))).as("hops"))
     }
 
-    // Terminal test: cur has no outgoing edge. Chains of length in
+    // Terminal test (see resolveLocal for the driver-side twin): cur has
+    // no outgoing edge. Chains of length in
     // (maxHops, 2^rounds] DID resolve exactly but exceed the client cap
     // -> looped, same as true cycles (which never compose to a terminal
     // and sit at hops == 2^rounds).
@@ -87,5 +88,31 @@ object Redirects {
         when(col("_resolved"), col("cur")).as("final_url"),
         when(col("_resolved"), col("hops")).as("hops"),
         (!col("_resolved")).as("looped"))
+  }
+
+  /** Driver-side twin of [[resolve]] for SMALL edge maps (the engine's
+    * redirect ledger below `CrawlConfig.redirectDriverMax` — same
+    * driver/distributed threshold pattern as the crawl-delay ledger):
+    * the distributed doubling costs ~5 shuffle stages per rebuild, which
+    * dominated redirect-heavy crawls whose ledgers hold a handful of
+    * edges. Bit-identical semantics (RedirectsSpec differential): follow
+    * hops to a terminal; resolved iff reached within `maxHops`, else
+    * looped (true cycles and over-cap chains alike).
+    *
+    * @return (src, finalUrl | null, hops | -1, looped) per edge key
+    */
+  def resolveLocal(edges: collection.Map[String, String],
+      maxHops: Int): Seq[(String, String, Long, Boolean)] = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    edges.iterator.map { case (src, first) =>
+      var cur = first
+      var hops = 1L
+      while (edges.contains(cur) && hops <= maxHops) {
+        cur = edges(cur); hops += 1
+      }
+      val resolved = !edges.contains(cur) && hops <= maxHops
+      (src, if (resolved) cur else null,
+        if (resolved) hops else -1L, !resolved)
+    }.toSeq
   }
 }

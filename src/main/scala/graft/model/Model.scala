@@ -275,5 +275,14 @@ case class CrawlConfig(
     followRedirects: Boolean = false,
     /** Client redirect cap for [[followRedirects]] chain resolution
       * (chains longer than this, and true cycles, are dropped). */
-    redirectMaxHops: Int = 8
+    redirectMaxHops: Int = 8,
+    /** Below this many redirect edges the per-round chain resolution
+      * runs on the DRIVER ([[graft.engine.Redirects.resolveLocal]]) and
+      * the rewrite map broadcasts — the distributed pointer doubling is
+      * ~5 shuffle stages per rebuild, pure floor when the ledger holds a
+      * handful of edges (same driver/distributed threshold pattern as
+      * distributedDelayHosts; at web scale ledgers are 10^8+ edges and
+      * stay on the doubling path). <= 0 forces the distributed path
+      * (the equivalence spec does). */
+    redirectDriverMax: Int = 100000
 )

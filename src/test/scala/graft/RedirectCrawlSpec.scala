@@ -127,6 +127,29 @@ class RedirectCrawlSpec extends SparkTestBase {
     assert(b.rounds < a.rounds, s"warm ${b.rounds} vs cold ${a.rounds}")
   }
 
+  test("driver-side redirect resolution (redirectDriverMax) leaves the trace exactly equal") {
+    // default config resolves the small ledger on the driver; forcing
+    // the distributed doubling (redirectDriverMax = 0) must produce the
+    // identical crawl — both phases, cold and warm
+    def runBoth(cfg: graft.model.CrawlConfig) = {
+      val d1 = SparkTestBase.tmpDir("redir-drv")
+      val cold = CrawlEngine.run(spark, treeCorpusWithCycleLink,
+        Seq(Seed(clean(0), null, 0)), noRobots, follower, cfg, d1)
+      val d2 = SparkTestBase.tmpDir("redir-drv")
+      val warm = CrawlEngine.run(spark, treeCorpusWithCycleLink,
+        Seq(Seed(clean(0), null, 0)), noRobots, follower, cfg, d2,
+        initialRedirects = cold.redirectEdges(spark))
+      def key(r: CrawlEngine.RunResult) = r.trace(spark)
+        .select("seq", "canonical", "status", "depth")
+        .as[(Long, String, Int, Int)].collect().sortBy(_._1).toSeq
+      (key(cold), key(warm))
+    }
+    val (cd, wd) = runBoth(cfgRedir) // driver path (default threshold)
+    val (cx, wx) = runBoth(cfgRedir.copy(redirectDriverMax = 0)) // doubling
+    assert(cd == cx, "cold trace must not depend on the resolve tier")
+    assert(wd == wx, "warm trace must not depend on the resolve tier")
+  }
+
   // ---- continuous-crawl epochs --------------------------------------
   // Star corpus: page 0 links to 1..6 spread over 2 hosts; doc i's title
   // is "v<e>" at epoch e when i changes every epoch (i % 2 == 1), else

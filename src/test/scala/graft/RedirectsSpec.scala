@@ -65,4 +65,20 @@ class RedirectsSpec extends SparkTestBase {
       assert(got == want, s"maxHops=$maxHops")
     }
   }
+
+  test("resolveLocal (driver twin) == resolve on the functional graph") {
+    // the engine's small-ledger fast path must be bit-identical to the
+    // distributed doubling on every (final, looped) answer
+    val edges = (0 until 211).filter(_ % 7 != 0)
+      .map(i => i.toString -> ((i * 17 + 31) % 211).toString)
+    val m = edges.toMap
+    for (maxHops <- Seq(1, 3, 4, 7, 8)) {
+      val dist = resolve(edges, maxHops)
+      val local = Redirects.resolveLocal(m, maxHops)
+        .map { case (u, fin, hops, looped) =>
+          (u, Option(fin), if (hops >= 0) Some(hops) else None, looped) }
+        .sortBy(_._1)
+      assert(local == dist, s"maxHops=$maxHops")
+    }
+  }
 }
