@@ -523,6 +523,25 @@ object CrawlEngine {
       inflight.clear()
       val t0 = System.nanoTime()
 
+      // 0.5 tiny-round single-partition head (r6, guide §2.4): every
+      // operator in the candidate pipeline (dedup window, budget window,
+      // seq windows, aggregations, joins) requires only a Clustered
+      // Distribution, which a SINGLE partition satisfies — so coalescing
+      // a tiny frontier to one partition makes the whole pipeline
+      // exchange-free (one stage instead of 4-5 AQE stage-jobs of
+      // 80-200 ms each, the measured floor). Gated on BOTH the frontier
+      // and the accumulated seen set being small: a big seen side would
+      // otherwise be forced into the single partition by the exact
+      // anti-join's co-partitioning requirement. Results are identical —
+      // every operator is deterministic under any partitioning (total
+      // order keys / exact aggregation).
+      val frontierIn =
+        if (cfg.singlePartitionMax > 0 &&
+            frontierCount < cfg.singlePartitionMax &&
+            nextSeq < cfg.singlePartitionMax)
+          frontier.coalesce(1)
+        else frontier
+
       // 1. defer enforcement (engine mode only; reference records but
       //    never consumes its ledger — runner.rs:224-226)
       val (eligible0, deferred) =
@@ -534,17 +553,17 @@ object CrawlEngine {
           val blockedTags = deferLedger
             .filter(v => v._2 > round && v._2 != Int.MaxValue).keys.toSeq
           val alive =
-            if (killedTags.contains("__every__")) frontier.limit(0)
-            else if (killedTags.isEmpty) frontier
-            else frontier.filter(col("tag").isNull ||
+            if (killedTags.contains("__every__")) frontierIn.limit(0)
+            else if (killedTags.isEmpty) frontierIn
+            else frontierIn.filter(col("tag").isNull ||
               !col("tag").isin(killedTags: _*))
           if (blockedTags.contains("__every__")) (alive.limit(0), alive)
-          else if (blockedTags.isEmpty) (alive, frontier.limit(0))
+          else if (blockedTags.isEmpty) (alive, frontierIn.limit(0))
           else (alive.filter(col("tag").isNull ||
                   !col("tag").isin(blockedTags: _*)),
                 alive.filter(col("tag").isNotNull &&
                   col("tag").isin(blockedTags: _*)))
-        } else (frontier, frontier.limit(0))
+        } else (frontierIn, frontierIn.limit(0))
 
       // 1.3 redirect rewrite (followRedirects): candidates whose canonical
       //     is a KNOWN redirect source jump straight to the chain's final

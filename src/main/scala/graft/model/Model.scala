@@ -284,5 +284,15 @@ case class CrawlConfig(
       * distributedDelayHosts; at web scale ledgers are 10^8+ edges and
       * stay on the doubling path). <= 0 forces the distributed path
       * (the equivalence spec does). */
-    redirectDriverMax: Int = 100000
+    redirectDriverMax: Int = 100000,
+    /** Below this many frontier candidates AND accumulated seen rows,
+      * the round's candidate pipeline runs from a single-partition
+      * coalesce of the frontier scan: SinglePartition satisfies every
+      * operator's required distribution, so the dedup/budget/seq windows
+      * and aggregations plan ZERO exchanges — one stage instead of 4-5
+      * AQE stage-jobs of fixed overhead each (the measured small-round
+      * floor). Identical results at any setting (total-order keys, exact
+      * aggregation); <= 0 disables. The corpus/fetch side keeps its full
+      * parallelism either way. */
+    singlePartitionMax: Long = 10000L
 )

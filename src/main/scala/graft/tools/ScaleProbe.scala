@@ -278,7 +278,13 @@ object ScaleProbe {
         Seq.empty, crawlDelayMs = 2000L, hostBudget = 3)).toDS()
       val cfg = CrawlConfig(maxRounds = 8, maxDepth = 2,
         msPerRound = 1000L, frontierPartitions = 8,
-        useBloomPrefilter = false)
+        useBloomPrefilter = false,
+        // match the r6 declared-query shape (audit tier off) unless the
+        // env asks for the full-stats floor
+        lineageStats =
+          sys.env.get("SPARK_GRAFT_PROBE_FLOOR_STATS").contains("1"),
+        trackPath =
+          sys.env.get("SPARK_GRAFT_PROBE_FLOOR_STATS").contains("1"))
       // warm session (codegen, scheduler, parquet) outside the timing
       spark.range(100000L).selectExpr("sum(id)").collect()
       val work = java.nio.file.Files
