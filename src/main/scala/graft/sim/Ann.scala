@@ -305,32 +305,52 @@ object Ann {
       struct(lit(b).as("band"),
         lshBucket(col("v"), dim, bitsPerBand, offset = b * bitsPerBand)
           .as("bucket"))): _*)
-    // explode to (band, bucket) keys; the self-join is per band-bucket —
-    // bounded candidate lists, then DISTINCT before the exact verify
+    // explode to (band, bucket) keys — IDS ONLY through the self-join
+    // (guide §8: every shuffle but the last moves a lightweight proxy,
+    // never the payload): the quantized vector is dim longs per row and
+    // a pair colliding in a hot bucket used to drag TWO copies of it
+    // through the join, the band/bucket exchange and the pair-distinct.
+    // Candidates are (a, b) id pairs, DISTINCT'd before the exact verify
+    // (round-2 verdict #7), and the vectors re-attach via two joins
+    // against the narrow (id, v) projection — broadcast when small, hash
+    // on the id key at scale; either way the heavy bytes move once.
     val keyed = v0.withColumn("bb", explode(bandCols))
-      .select(col("id"), col("v"),
+      .select(col("id"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    pairsAboveThreshold(keyed, Seq("band", "bucket"),
-      thrNum, thrDen, distinctPairs = true)
+    val l = keyed.as("l")
+    val r = keyed.as("r")
+    val cand = l.join(r,
+        col("l.band") === col("r.band") &&
+          col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .dropDuplicates("a", "b")
+    cand
+      .join(v0.select(col("id").as("a"), col("v").as("va")), "a")
+      .join(v0.select(col("id").as("b"), col("v").as("vb")), "b")
+      .select(col("a"), col("b"),
+        dotQ(col("va"), col("vb")).as("dot"),
+        (norm2Q(col("va")) * norm2Q(col("vb"))).as("n2"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * (thrDen * thrDen) >=
+          col("n2") * (thrNum * thrNum))
+      .select(col("a"), col("b"))
   }
 
   /** Self-join on `keys`, id-ordered pairs, exact integer-cosine
-    * threshold. With `distinctPairs` (banded callers) candidates are
-    * DEDUPED BEFORE the verify (round-2 verdict #7): a pair colliding in
-    * several bands pays the exact-cosine arithmetic once, not once per
-    * collision — (a, b) determines (va, vb), so dropDuplicates picks
-    * identical payloads and the result set is unchanged.
+    * threshold. Single-signature callers only — a pair collides at most
+    * once, so candidates go straight to the verify. Banded callers
+    * ([[nearDupPairsBanded]]) use the ids-only candidate path instead.
     */
   private def pairsAboveThreshold(v: DataFrame, keyNames: Seq[String],
-      thrNum: Long, thrDen: Long, distinctPairs: Boolean = false): DataFrame = {
+      thrNum: Long, thrDen: Long): DataFrame = {
     val l = v.as("l")
     val r = v.as("r")
     val joinKeys = keyNames.map(n => col(s"l.$n") === col(s"r.$n"))
       .reduce(_ && _)
-    val cand0 = l.join(r, joinKeys && col("l.id") < col("r.id"))
+    val cand = l.join(r, joinKeys && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"),
         col("l.v").as("va"), col("r.v").as("vb"))
-    val cand = if (distinctPairs) cand0.dropDuplicates("a", "b") else cand0
     cand
       .select(col("a"), col("b"),
         dotQ(col("va"), col("vb")).as("dot"),

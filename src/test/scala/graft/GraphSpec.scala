@@ -94,10 +94,33 @@ class GraphSpec extends SparkTestBase {
     // cannot converge for small k; the fixpoint loop must
     val nodes = ((0L to 24L) :+ 100L).toDF("id")
     val edges = (0L until 24L).map(i => (i, i + 1)).toDF("src", "dst")
-    val labels = GraphOps.connectedComponents(nodes, edges)
+    // driverMaxEdges = 0 forces the DISTRIBUTED fixpoint loop (the
+    // driver union-find tier would otherwise absorb a 24-edge graph)
+    val labels = GraphOps.connectedComponents(nodes, edges, driverMaxEdges = 0)
       .orderBy("node").as[(Long, Long)].collect().toMap
     assert((0L to 24L).forall(labels(_) == 0L))
     assert(labels(100L) == 100L)
+  }
+
+  test("connectedComponents: driver union-find tier == distributed fixpoint") {
+    // pseudorandom sparse graph (deterministic LCG): many components of
+    // varied shape incl. isolated nodes; the driver fast path
+    // (driverMaxEdges default) must produce bit-identical labels to the
+    // forced distributed loop (driverMaxEdges = 0)
+    var s = 12345L
+    def nxt(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
+    val n = 400L
+    val nodes = (0L until n).toDF("id")
+    val edges = (1 to 300).map { _ =>
+      (math.floorMod(nxt(), n), math.floorMod(nxt(), n))
+    }.toDF("src", "dst")
+    val fast = GraphOps.connectedComponents(nodes, edges)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val dist = GraphOps.connectedComponents(nodes, edges, driverMaxEdges = 0)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(fast == dist)
+    // and the chain contract holds on the fast path too
+    assert(fast.size == n)
   }
 
   test("labelPropagation: k iterations = min over k-hop neighborhood") {
