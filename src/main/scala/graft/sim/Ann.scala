@@ -243,17 +243,26 @@ object Ann {
     * exact in-list top-k. nprobe=1 is classic IVF; nprobe=#lists is brute
     * force over the index.
     */
-  def ivfSearchIndexed(index: IvfIndex, query: DataFrame, k: Int,
-      nprobe: Int): DataFrame = {
-    val spark = query.sparkSession
+  /** Driver-side centroid ranking shared by every probe path: same
+    * integer dots + IEEE double cosine as the distributed assignment —
+    * bit-identical tie-break (lowest cid) to the argmax fold.
+    */
+  private def probedLists(centroids: Seq[(Long, Seq[Long], Double)],
+      query: DataFrame, nprobe: Int): Seq[Long] = {
     val qv = query.select(col("qvec")).collect()(0).getSeq[Long](0).toSeq
     val qn = math.sqrt(qv.map(x => x * x).sum.toDouble)
-    val probed = index.centroids
+    centroids
       .map { case (cid, cv, cn) =>
         (cid, qv.zip(cv).map(p => p._1 * p._2).sum.toDouble / (qn * cn))
       }
       .sortBy { case (cid, cos) => (-cos, cid) }
       .take(nprobe).map(_._1)
+  }
+
+  def ivfSearchIndexed(index: IvfIndex, query: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
+    val spark = query.sparkSession
+    val probed = probedLists(index.centroids, query, nprobe)
     spark.read.parquet(index.path)
       .filter(col("cid").isin(probed: _*))
       .crossJoin(broadcast(query.select(col("qvec"))))
@@ -262,15 +271,29 @@ object Ann {
       .limit(k)
   }
 
-  /** IVF multi-probe search, one-shot convenience form: build to a temp
-    * location, then [[ivfSearchIndexed]]. Long-lived corpora should call
-    * [[ivfBuild]] once and search the returned index.
+  /** IVF multi-probe search, one-shot form: assignment scan -> probed-
+    * list filter -> exact in-list top-k, with NO materialized index
+    * (r6, guide §6): a single search gains nothing from the parquet
+    * round-trip — the write+dynamic-partition-commit+read-back of the
+    * whole assignment table was the dominant cost of the one-shot gates.
+    * Identical results by construction: the persisted index holds
+    * exactly the (id, v, cid) rows this path filters in memory, and the
+    * centroid ranking/tie-break is [[probedLists]] in both. Long-lived
+    * corpora (search-many) still call [[ivfBuild]] once and probe with
+    * directory-level partition pruning via [[ivfSearchIndexed]].
     */
   def ivfSearchN(vecs: DataFrame, idCol: String, vecCol: String,
       query: DataFrame, stride: Int, k: Int, nprobe: Int): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toString
-    val index = ivfBuild(vecs, idCol, vecCol, stride, tmp)
-    ivfSearchIndexed(index, query, k, nprobe)
+    val v = vecs.select(col(idCol).cast("long").as("id"),
+      quantize(col(vecCol)).as("v"))
+    val cents = collectCentroids(v, stride)
+    val probed = probedLists(cents, query, nprobe)
+    v.withColumn("cid", argmaxCid(cents, col("v")))
+      .filter(col("cid").isin(probed: _*))
+      .crossJoin(broadcast(query.select(col("qvec"))))
+      .select(col("id"), cosineQ(col("v"), col("qvec")).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
   }
 
   /** IVF search (nprobe=1): probe ONLY the query's nearest inverted list. */
