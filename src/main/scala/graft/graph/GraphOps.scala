@@ -67,9 +67,56 @@ object GraphOps {
   def pageRank(nodes: DataFrame, edges: DataFrame, iterations: Int,
       d20: Int = 17,
       checkpointEvery: Int = 0,
-      checkpoint: DataFrame => DataFrame = identity): DataFrame = {
+      checkpoint: DataFrame => DataFrame = identity,
+      driverMaxRows: Int = 500000): DataFrame = {
     require(d20 >= 0 && d20 <= 20, "damping is d20/20")
     val base = (RankScale * (20 - d20)) / 20
+    // Small-graph driver fast path (r6, same tier pattern as the CC
+    // union-find and the engine's redirectDriverMax): the recurrence is
+    // pure Long arithmetic (div / add — associative, order-insensitive),
+    // so when BOTH the node and edge tables fit under `driverMaxRows`
+    // the whole fixed-iteration loop runs locally and the result is a
+    // single parallelized relation — versus 3 shuffle stages per
+    // iteration for a priority refresh over a small link ledger.
+    // Bit-identical by construction (differential-spec'd in GraphSpec);
+    // Long ids only; web-scale graphs exceed the bound and keep the
+    // distributed path; driverMaxRows <= 0 forces it.
+    if (driverMaxRows > 0 &&
+        nodes.schema("id").dataType ==
+          org.apache.spark.sql.types.LongType &&
+        edges.schema("src").dataType ==
+          org.apache.spark.sql.types.LongType) {
+      val nodeRows = nodes.select(col("id"))
+        .limit(driverMaxRows + 1).collect()
+      if (nodeRows.length <= driverMaxRows) {
+        val edgeRows = edges.select(col("src"), col("dst"))
+          .limit(driverMaxRows + 1).collect()
+        if (edgeRows.length <= driverMaxRows) {
+          val ids = nodeRows.map(_.getLong(0))
+          val es = edgeRows.map(r => (r.getLong(0), r.getLong(1)))
+          val deg = scala.collection.mutable.Map.empty[Long, Long]
+          es.foreach { case (s, _) => deg(s) = deg.getOrElse(s, 0L) + 1L }
+          var rank: Map[Long, Long] = ids.iterator
+            .map(_ -> RankScale).toMap
+          for (_ <- 1 to iterations) {
+            val in = scala.collection.mutable.Map.empty[Long, Long]
+            es.foreach { case (s, d) =>
+              // mirrors the distributed join exactly: only edges whose
+              // src carries a rank contribute, and contributions toward
+              // a dst outside `nodes` are dropped by the left join below
+              rank.get(s).foreach { rs =>
+                in(d) = in.getOrElse(d, 0L) + rs / deg(s)
+              }
+            }
+            rank = ids.iterator.map(v =>
+              v -> (base + (d20.toLong * in.getOrElse(v, 0L)) / 20L)).toMap
+          }
+          val spark = nodes.sparkSession
+          import spark.implicits._
+          return ids.toSeq.map(v => (v, rank(v))).toDF("node", "rank")
+        }
+      }
+    }
     val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("_deg"))
     // join once: per-edge (src, dst, _deg). This subtree appears in the
     // final plan once PER ITERATION (the rank chain is linear, but

@@ -128,7 +128,9 @@ object ScaleProbe {
         .unionByName(nodes.select(col("id").as("src"),
           ((col("id") * 31 + 11) % n).as("dst")))
       val t0 = System.nanoTime()
-      val agg = GraphOps.pageRank(nodes, edges, iterations = 3)
+      // driverMaxRows = 0: the probe measures the DISTRIBUTED tier
+      val agg = GraphOps.pageRank(nodes, edges, iterations = 3,
+          driverMaxRows = 0)
         .agg(sum(col("rank")), count(lit(1))).collect()(0)
       val secs = (System.nanoTime() - t0) / 1e9
       val mass = agg.getLong(0); val cnt = agg.getLong(1)
@@ -157,6 +159,8 @@ object ScaleProbe {
       val t0cc = last
       val labels = GraphOps.connectedComponents(nodes, edges,
         maxIterations = deep + 10,
+        // driverMaxEdges = 0: the probe measures the DISTRIBUTED tier
+        driverMaxEdges = 0,
         checkpoint = df => {
           val r = df.localCheckpoint()
           val now = System.nanoTime()

@@ -49,11 +49,19 @@ class GraphSpec extends SparkTestBase {
       ((col("id") * 7 + 3) % n).as("dst"))
       .unionByName(nodes.select(col("id").as("src"),
         ((col("id") * 13 + 5) % n).as("dst")))
-    val a = GraphOps.pageRank(nodes.repartition(1), edges.repartition(1), 3)
+    // driverMaxRows = 0 forces the DISTRIBUTED loop on both sides (the
+    // driver tier would trivially satisfy the parallelism contract)
+    val a = GraphOps.pageRank(nodes.repartition(1), edges.repartition(1), 3,
+      driverMaxRows = 0)
       .orderBy("node").as[(Long, Long)].collect().toSeq
-    val b = GraphOps.pageRank(nodes.repartition(7), edges.repartition(11), 3)
+    val b = GraphOps.pageRank(nodes.repartition(7), edges.repartition(11), 3,
+      driverMaxRows = 0)
       .orderBy("node").as[(Long, Long)].collect().toSeq
     assert(a == b)
+    // and the driver tier (default bound) is bit-identical to both
+    val c = GraphOps.pageRank(nodes, edges, 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(c == a)
     // total mass stays positive and bounded by the start mass (sink-free
     // graph: every node has out-degree 2, so only division floors leak)
     assert(a.map(_._2).sum <= n.toLong * GraphOps.RankScale)
