@@ -117,16 +117,25 @@ object Seen {
     candidates.join(seen.select(col("urlHash")), Seq("urlHash"), "left_anti")
 
   /** In-batch dedup: keep the first occurrence of each urlHash in FIFO
-    * order (lowest (parentSeq, emissionIdx)). Window partitioned by
-    * urlHash -> fully parallel.
+    * order (lowest (parentSeq, emissionIdx)).
+    *
+    * min_by AGGREGATE, not a row_number window (r6, guide §2.3 —
+    * aggregate before you shuffle): the window form shuffled EVERY
+    * candidate row to its urlHash partition and then sorted each
+    * partition; the declarative min_by does map-side partial
+    * aggregation (duplicate-heavy rounds collapse before the exchange)
+    * and needs no sort. Identical rows out for a total `orderKey` per
+    * urlHash group — the callers' keys ((parentSeq, emissionIdx),
+    * doc_id, seq) are unique per candidate; struct min_by compares
+    * lexicographically, exactly like the window's orderBy.
     */
   def firstOccurrence(candidates: DataFrame, orderKey: Column): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("urlHash")).orderBy(orderKey)
+    val cols = candidates.columns
     candidates
-      .withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") === 1)
-      .drop("_rk")
+      .groupBy(col("urlHash"))
+      .agg(min_by(struct(cols.map(col).toIndexedSeq: _*), orderKey)
+        .as("_row"))
+      .select(cols.map(c => col("_row").getField(c).as(c)).toIndexedSeq: _*)
   }
 
 }
