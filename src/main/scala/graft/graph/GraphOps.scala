@@ -325,7 +325,48 @@ object GraphOps {
     * reused; self-loops are harmless to min().
     */
   def labelPropagation(nodes: DataFrame, edges: DataFrame,
-      iterations: Int): DataFrame = {
+      iterations: Int, driverMaxRows: Int = 500000): DataFrame = {
+    // Small-graph driver fast path (r6, same tier pattern as
+    // [[connectedComponents]] / [[pageRank]]): k rounds of
+    // min-over-neighborhood relaxation are pure integer min — when both
+    // tables fit under `driverMaxRows` the loop runs locally instead of
+    // one shuffle stage per iteration. Bit-identical (min is exact and
+    // order-insensitive; differential-spec'd in GraphSpec); Long ids
+    // only; driverMaxRows <= 0 forces the distributed loop.
+    if (driverMaxRows > 0 &&
+        nodes.schema("id").dataType ==
+          org.apache.spark.sql.types.LongType &&
+        edges.schema("src").dataType ==
+          org.apache.spark.sql.types.LongType) {
+      val nodeRows = nodes.select(col("id")).limit(driverMaxRows + 1)
+        .collect()
+      if (nodeRows.length <= driverMaxRows) {
+        val edgeRows = edges.select(col("src"), col("dst"))
+          .limit(driverMaxRows + 1).collect()
+        if (edgeRows.length <= driverMaxRows) {
+          val ids = nodeRows.map(_.getLong(0))
+          val es = edgeRows.map(r => (r.getLong(0), r.getLong(1)))
+          var label: Map[Long, Long] = ids.iterator.map(v => v -> v).toMap
+          for (_ <- 1 to iterations) {
+            val next = scala.collection.mutable.Map.empty[Long, Long]
+            def relax(v: Long, l: Long): Unit =
+              if (next.getOrElse(v, Long.MaxValue) > l) next(v) = l
+            // mirrors the distributed union + min-groupBy exactly: each
+            // node keeps its own label and takes the min over labels of
+            // neighbors present in the label table
+            label.foreach { case (v, l) => relax(v, l) }
+            es.foreach { case (s, d) =>
+              label.get(d).foreach(relax(s, _))
+              label.get(s).foreach(relax(d, _))
+            }
+            label = next.toMap
+          }
+          val spark = nodes.sparkSession
+          import spark.implicits._
+          return label.toSeq.toDF("node", "label")
+        }
+      }
+    }
     // same iterative-execution discipline as [[connectedComponents]]
     // (r6): `labels` appears TWICE per iteration (union + join), so an
     // unmaterialized chain duplicates the whole prior subtree 2^k times —

@@ -144,5 +144,12 @@ class GraphSpec extends SparkTestBase {
       .orderBy("node").as[(Long, Long)].collect().toMap
     assert(l4 == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
       10L -> 10L, 11L -> 10L, 20L -> 20L))
+    // and the forced DISTRIBUTED loop is bit-identical to the driver
+    // tier at both depths
+    val d1 = GraphOps.labelPropagation(nodes, edges, 1, driverMaxRows = 0)
+      .orderBy("node").as[(Long, Long)].collect().toMap
+    val d4 = GraphOps.labelPropagation(nodes, edges, 4, driverMaxRows = 0)
+      .orderBy("node").as[(Long, Long)].collect().toMap
+    assert(d1 == l1 && d4 == l4)
   }
 }
