@@ -50,18 +50,30 @@ object ProfileDedup {
       require(c == n / dupFactor, s"rows $c")
       (System.nanoTime() - t0) / 1e9
     }
-    // warm both
-    time(windowForm(base).count()); time(aggForm(base).count())
-    val (ws, as) = (scala.collection.mutable.ArrayBuffer.empty[Double],
-      scala.collection.mutable.ArrayBuffer.empty[Double])
-    for (_ <- 1 to 5) {
-      ws += time(windowForm(base).count())
-      as += time(aggForm(base).count())
+    def ab(label: String, df: DataFrame): Unit = {
+      // warm both
+      time(windowForm(df).count()); time(aggForm(df).count())
+      val (ws, as) = (scala.collection.mutable.ArrayBuffer.empty[Double],
+        scala.collection.mutable.ArrayBuffer.empty[Double])
+      for (_ <- 1 to 5) {
+        ws += time(windowForm(df).count())
+        as += time(aggForm(df).count())
+      }
+      def f(xs: Seq[Double]) =
+        f"min=${xs.min}%.2f med=${xs.sorted.apply(xs.size / 2)}%.2f"
+      println(s"""{"probe":"dedup_ab","input":"$label","rows":$n,""" +
+        s""""dup":$dupFactor,"window":"${f(ws.toSeq)}",""" +
+        s""""min_by":"${f(as.toSeq)}"}""")
     }
-    def f(xs: Seq[Double]) =
-      f"min=${xs.min}%.2f med=${xs.sorted.apply(xs.size / 2)}%.2f"
-    println(s"""{"probe":"dedup_ab","rows":$n,"dup":$dupFactor,""" +
-      s""""window":"${f(ws.toSeq)}","min_by":"${f(as.toSeq)}"}""")
+    // standalone regime: the exchange is paid by both forms
+    ab("unclustered", base)
+    // ENGINE regime: input already hash-clustered by urlHash (the seen
+    // anti-join's layout) — the window's exchange is elided, min_by
+    // plans a partial+final SortAggregate pair with no exchange between
+    val clustered = base.repartition(32, col("urlHash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    clustered.count()
+    ab("preclustered", clustered)
     spark.stop()
   }
 }
